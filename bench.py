@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Headline benchmark — int8 quantized GEMM vs fp32 GEMM at the reference's
+problem size (2048x2048x2048, 50-iteration mean; src/timing_quantize.cu
+protocol).
+
+Reference baseline (BASELINE.md): the CUDA pipeline was 4.18x SLOWER than
+fp32 (0.31954 ms fp32 vs 1.33682 ms quantized), i.e. a speedup of 0.239x.
+Target: int8 FASTER than fp32 per chip. ``vs_baseline`` is our speedup
+divided by the reference's 0.239x.
+
+Prints ONE JSON line on stdout; detail goes to stderr.
+"""
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from qgemm_tpu.ops.pallas.quantized_matmul import (
+    quantized_matmul_pallas,
+    quantized_matmul_prequant_pallas,
+)
+from qgemm_tpu.ops.quantize import quantize_weights, quantized_matmul_xla
+from qgemm_tpu.utils.profiling import bench_ms
+
+M = N = K = 2048
+REFERENCE_SPEEDUP = 0.31954 / 1.33682  # 0.239x — reference int8 vs its fp32
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    on_tpu = jax.default_backend() not in ("cpu",)
+    iters, base = (1500, 100) if on_tpu else (5, 1)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(k1, (M, K), jnp.float32)
+    w = jax.random.normal(k2, (K, N), jnp.float32)
+    wq = quantize_weights(w)
+    gflop = 2 * M * N * K / 1e9
+
+    def fp32_mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    t_fp32 = bench_ms(fp32_mm, x, w, iters=iters, base=base)
+    log(f"fp32 GEMM      : {t_fp32:.4f} ms  ({gflop / t_fp32:.1f} TFLOP/s)")
+
+    if on_tpu:
+        t_dyn = bench_ms(quantized_matmul_pallas, x, w, iters=iters, base=base)
+        t_pre = bench_ms(
+            lambda a: quantized_matmul_prequant_pallas(a, wq.q, wq.c),
+            x, iters=iters, base=base)
+    else:  # CPU smoke mode: interpret-mode pallas is too slow, use XLA path
+        t_dyn = bench_ms(quantized_matmul_xla, x, w, iters=iters, base=base)
+        t_pre = t_dyn
+    log(f"int8 dynamic   : {t_dyn:.4f} ms  ({gflop / t_dyn:.1f} TFLOP/s)  "
+        f"[quantize X+W, mm, dequant — reference pipeline parity]")
+    log(f"int8 prequant  : {t_pre:.4f} ms  ({gflop / t_pre:.1f} TFLOP/s)  "
+        f"[serving path: weights quantized offline]")
+
+    speedup = t_fp32 / t_dyn
+    log(f"speedup (dynamic int8 vs fp32): {speedup:.2f}x "
+        f"(reference was {REFERENCE_SPEEDUP:.3f}x, i.e. 4.18x slower)")
+
+    print(json.dumps({
+        "metric": "int8_quantized_gemm_speedup_vs_fp32_2048cubed",
+        "value": round(speedup, 4),
+        "unit": "x",
+        "vs_baseline": round(speedup / REFERENCE_SPEEDUP, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

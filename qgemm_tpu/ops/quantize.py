@@ -1,0 +1,175 @@
+"""LLM.int8()-style absmax vector-wise int8 quantized matmul — the core
+capability (reference: src/ops/op_mm.cuh::op_quantized_mm :69-101).
+
+Pipeline (identical math to the reference, SURVEY.md §2):
+  1. per-row absmax of activations  Cx[m,1]
+  2. per-col absmax of weights      Cw[1,n]
+  3. scales sx = R/Cx, sw = R/Cw (R = 127)
+  4. quantize to int8 (round-to-nearest; the reference truncates —
+     MultiplyWithTypecastFunc op_elemwise.cuh:106-114 — a documented bug we
+     fix; pass rounding="truncate" for bit-parity experiments)
+  5. int8 x int8 -> int32 matmul on the MXU
+  6. dequantize: out = acc * (Cx @ Cw) / R^2
+
+Two execution backends:
+  * "xla"    — the jnp composition below; XLA fuses steps 1-4 and 6 around
+               one int8 dot. This is the oracle for the Pallas kernels.
+  * "pallas" — fused TPU kernels (ops/pallas/quantized_matmul.py): one
+               row-quantization kernel for activations + one int8-matmul
+               kernel with the dequant epilogue fused into its grid, so X and
+               W are each read from HBM once (the reference's 4.18x slowdown
+               came from ~9 unfused kernel launches re-reading HBM).
+  * "auto"   — pallas on TPU, xla elsewhere.
+
+Plus the mixed-precision outlier decomposition from the LLM.int8() paper
+(``quantized_matmul_outlier``): the reference scaffolded the outlier mask
+(op_elemwise.cuh:699-708 op_outlier_extractor) but never wired it in; here it
+is a first-class, jit-compatible path with a static outlier capacity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+QRANGE = 127.0
+_EPS = 1e-12  # guards all-zero rows/cols (scale would be inf)
+
+
+def _use_pallas(backend: str) -> bool:
+    if backend == "auto":
+        return jax.default_backend() not in ("cpu",)
+    return backend == "pallas"
+
+
+# ---------------------------------------------------------------------------
+# quantize / dequantize primitives
+# ---------------------------------------------------------------------------
+
+def absmax_scales(x, axis: int):
+    """max|x| along ``axis`` with keepdims — the Cx / Cw statistic
+    (op_reduction.cuh:196)."""
+    return jnp.maximum(jnp.max(jnp.abs(x), axis=axis, keepdims=True), _EPS)
+
+
+def absmax_quantize(x, axis: int, rounding: str = "nearest", qrange: float = QRANGE):
+    """Quantize to int8 along ``axis`` (rows of activations: axis=-1;
+    cols of weights: axis=0). Returns (q int8, c absmax float32)."""
+    c = absmax_scales(x, axis)
+    scaled = x * (qrange / c)
+    if rounding == "nearest":
+        q = jnp.clip(jnp.round(scaled), -qrange, qrange).astype(jnp.int8)
+    elif rounding == "truncate":  # reference bit-parity
+        q = jnp.trunc(scaled).astype(jnp.int8)
+    else:
+        raise ValueError(f"unknown rounding {rounding!r}")
+    return q, c.astype(jnp.float32)
+
+
+def dequantize(acc_i32, cx, cw, qrange: float = QRANGE):
+    """out = acc * (Cx outer Cw) / R^2 — op_mm.cuh:96-99 fused into one
+    elementwise expression (XLA folds the outer product into the multiply)."""
+    return acc_i32.astype(jnp.float32) * (cx * cw) * (1.0 / (qrange * qrange))
+
+
+class QuantizedWeight(NamedTuple):
+    """Offline-quantized weight: int8 values + per-column absmax. This is the
+    serving-path artifact — weights are quantized once, activations per step."""
+    q: jax.Array   # int8 [k, n]
+    c: jax.Array   # float32 [1, n] per-column absmax
+
+
+def quantize_weights(w, rounding: str = "nearest") -> QuantizedWeight:
+    q, c = absmax_quantize(w, axis=0, rounding=rounding)
+    return QuantizedWeight(q=q, c=c)
+
+
+# ---------------------------------------------------------------------------
+# int8 matmul
+# ---------------------------------------------------------------------------
+
+def int8_matmul(xq, wq):
+    """int8 x int8 -> int32 on the MXU (reference runs this in fp32 shared
+    memory, op_mm.cuh:16-17 — on TPU true int8 is ~2x the bf16 MXU rate)."""
+    return jax.lax.dot_general(
+        xq, wq,
+        dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# full pipelines
+# ---------------------------------------------------------------------------
+
+def quantized_matmul_xla(x, w, rounding: str = "nearest", qrange: float = QRANGE):
+    """The jnp composition — oracle for the Pallas kernels."""
+    xq, cx = absmax_quantize(x, axis=-1, rounding=rounding, qrange=qrange)
+    wq, cw = absmax_quantize(w, axis=0, rounding=rounding, qrange=qrange)
+    acc = int8_matmul(xq, wq)
+    return dequantize(acc, cx, cw, qrange)
+
+
+@functools.partial(jax.jit, static_argnames=("rounding", "backend"))
+def quantized_matmul(x, w, rounding: str = "nearest", backend: str = "auto"):
+    """Dynamic quantized matmul: quantizes BOTH operands on the fly —
+    op_quantized_mm parity (op_mm.cuh:69-101). x [m,k] f32/bf16, w [k,n]."""
+    if _use_pallas(backend):
+        from qgemm_tpu.ops.pallas.quantized_matmul import quantized_matmul_pallas
+        return quantized_matmul_pallas(x, w, rounding=rounding)
+    return quantized_matmul_xla(x, w, rounding=rounding)
+
+
+def quantized_matmul_prequant(x, wq: QuantizedWeight, backend: str = "auto",
+                              rounding: str = "nearest"):
+    """Serving path: weights already int8, activations quantized per call."""
+    if _use_pallas(backend):
+        from qgemm_tpu.ops.pallas.quantized_matmul import (
+            quantized_matmul_prequant_pallas,
+        )
+        return quantized_matmul_prequant_pallas(x, wq.q, wq.c, rounding=rounding)
+    xq, cx = absmax_quantize(x, axis=-1, rounding=rounding)
+    acc = int8_matmul(xq, wq.q)
+    return dequantize(acc, cx, wq.c)
+
+
+# ---------------------------------------------------------------------------
+# mixed-precision outlier decomposition (LLM.int8() §3; BASELINE config 5)
+# ---------------------------------------------------------------------------
+
+def quantized_matmul_outlier(x, w, threshold: float = 6.0,
+                             capacity: int | None = None,
+                             backend: str = "auto"):
+    """out = int8_mm(x with outlier feature-dims zeroed, w)
+           + bf16_mm(x[:, outliers], w[outliers, :]).
+
+    Outlier feature dims are columns of x whose absmax exceeds ``threshold``
+    (the LLM.int8() criterion). ``capacity`` is the static maximum number of
+    outlier dims (jit-friendly: top-k + masking, no dynamic shapes); dims
+    below threshold inside the top-k are masked to zero so the result is
+    exact w.r.t. the threshold as long as #outliers <= capacity.
+    """
+    k = x.shape[-1]
+    if capacity is None:
+        capacity = max(8, k // 128)
+    capacity = min(capacity, k)
+
+    col_absmax = jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1)))  # [k]
+    top_vals, top_idx = jax.lax.top_k(col_absmax, capacity)
+    selected = top_vals > threshold                                   # [cap]
+
+    outlier_mask = jnp.zeros((k,), jnp.bool_).at[top_idx].set(selected)
+    x_inlier = jnp.where(outlier_mask, 0.0, x)
+    out = quantized_matmul(x_inlier, w, backend=backend)
+
+    x_o = jnp.take(x, top_idx, axis=-1) * selected.astype(x.dtype)    # [m,cap]
+    w_o = jnp.take(w, top_idx, axis=0)                                # [cap,n]
+    out_fp = jax.lax.dot_general(
+        x_o.astype(jnp.bfloat16), w_o.astype(jnp.bfloat16),
+        dimension_numbers=(((x_o.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out + out_fp
