@@ -1,0 +1,167 @@
+"""Attention modules.
+
+``Attention`` is the reference-parity single-head layer
+(src/modules/attention.cuh:11-71): Q/K/V projections (:54-56), scores
+QK^T/sqrt(d_k) (:58-65), softmax (:68), context = A V (:69); no bias, no
+output projection (W_O lives in the transformer block, as in
+src/transformer.cu:52). The 3-argument ``(x_q, x_kv)`` call implements the
+*intended* self/cross API used by src/transformer.cu:37,132 (the checked-in
+2-arg signature doesn't compile against it — SURVEY.md §1 L5 note). Beyond
+the reference we add the standard causal mask option (the reference decoder
+has none, a known gap).
+
+``MultiHeadAttention`` is the production module: batched heads in one tensor
+(the reference loops heads on the host and concatenates via D2H/H2D round
+trips per block, transformer.cu:33-50 — on TPU heads are just a reshaped
+axis), fused output projection, optional int8-quantized projections, and an
+optional KV-cache for autoregressive decoding.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from qgemm_tpu.models.linear import Linear
+from qgemm_tpu.ops.softmax import softmax
+from qgemm_tpu.utils.prng import uniform_init
+
+
+def scaled_dot_product_attention(q, k, v, causal: bool = False,
+                                 mask: Optional[jax.Array] = None,
+                                 kv_offset: int | jax.Array = 0):
+    """q [..., Sq, d], k [..., Sk, d], v [..., Sk, dv] -> [..., Sq, dv].
+
+    ``kv_offset`` shifts the causal comparison for KV-cache decoding (query
+    position i attends to kv positions <= i + offset).
+    """
+    d = q.shape[-1]
+    scores = jnp.einsum("...qd,...kd->...qk", q, k) / jnp.sqrt(
+        jnp.asarray(d, q.dtype))
+    if causal:
+        sq, sk = scores.shape[-2], scores.shape[-1]
+        qi = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0) + kv_offset
+        kj = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+        scores = jnp.where(kj <= qi, scores, jnp.asarray(-1e30, scores.dtype))
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.asarray(-1e30, scores.dtype))
+    return jnp.einsum("...qk,...kv->...qv", softmax(scores, axis=-1), v)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("w_q", "w_k", "w_v"), meta_fields=())
+@dataclass
+class Attention:
+    """Single-head scaled dot-product attention, reference-parity."""
+
+    w_q: jax.Array  # [d_model, d_k]
+    w_k: jax.Array  # [d_model, d_k]
+    w_v: jax.Array  # [d_model, d_v]
+
+    @classmethod
+    def init(cls, key, d_model: int, d_k: int, d_v: int,
+             dtype=jnp.float32) -> "Attention":
+        # init ±1/sqrt(d_k) (attention.cuh:40-45)
+        bound = 1.0 / (d_k ** 0.5)
+        kq, kk, kv = jax.random.split(key, 3)
+        return cls(w_q=uniform_init(kq, (d_model, d_k), bound, dtype),
+                   w_k=uniform_init(kk, (d_model, d_k), bound, dtype),
+                   w_v=uniform_init(kv, (d_model, d_v), bound, dtype))
+
+    def __call__(self, x_q, x_kv=None, causal: bool = False):
+        """Self-attention when x_kv is None; cross-attention otherwise
+        (queries from x_q, keys/values from x_kv — transformer.cu:132)."""
+        if x_kv is None:
+            x_kv = x_q
+        q = x_q @ self.w_q
+        k = x_kv @ self.w_k
+        v = x_kv @ self.w_v
+        return scaled_dot_product_attention(q, k, v, causal=causal)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("wqkv_q", "wqkv_k", "wqkv_v", "w_o"),
+         meta_fields=("n_heads",))
+@dataclass
+class MultiHeadAttention:
+    """Batched multi-head attention with output projection.
+
+    Replaces the reference's host-side per-head loop + concat
+    (transformer.cu:33-54) with a single reshaped-axis computation; the
+    output projection W_O (transformer.cu:52-54) is part of the module.
+    Projections may be Linear or QuantizedLinear (int8 serving path).
+    """
+
+    wqkv_q: object  # Linear | QuantizedLinear [d_model, d_model]
+    wqkv_k: object
+    wqkv_v: object
+    w_o: object     # Linear | QuantizedLinear [d_model, d_model]
+    n_heads: int
+
+    @classmethod
+    def init(cls, key, d_model: int, n_heads: int, bias: bool = False,
+             dtype=jnp.float32) -> "MultiHeadAttention":
+        assert d_model % n_heads == 0
+        ks = jax.random.split(key, 4)
+        mk = lambda k: Linear.init(k, d_model, d_model, bias=bias, dtype=dtype)
+        return cls(wqkv_q=mk(ks[0]), wqkv_k=mk(ks[1]), wqkv_v=mk(ks[2]),
+                   w_o=mk(ks[3]), n_heads=n_heads)
+
+    def quantize(self) -> "MultiHeadAttention":
+        return MultiHeadAttention(
+            wqkv_q=self.wqkv_q.quantize(), wqkv_k=self.wqkv_k.quantize(),
+            wqkv_v=self.wqkv_v.quantize(), w_o=self.w_o.quantize(),
+            n_heads=self.n_heads)
+
+    def _split(self, x):
+        b, s, d = x.shape
+        return x.reshape(b, s, self.n_heads, d // self.n_heads).transpose(0, 2, 1, 3)
+
+    def _merge(self, x):
+        b, h, s, dh = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+
+    def precompute_kv(self, x_kv):
+        """Project and head-split K/V once (cross-attention cache: the
+        encoder output's K/V are static across all decode steps)."""
+        return self._split(self.wqkv_k(x_kv)), self._split(self.wqkv_v(x_kv))
+
+    def __call__(self, x_q, x_kv=None, causal: bool = False,
+                 kv_cache=None, cache_index=None, precomputed_kv=None):
+        """x_q [B, Sq, D]; x_kv [B, Sk, D] or None (self-attention).
+
+        KV-cache decoding: pass ``kv_cache=(k_cache, v_cache)`` with shapes
+        [B, H, S_max, Dh] and ``cache_index`` (current length); returns
+        (out, (k_cache, v_cache)) with the new K/V written at cache_index.
+        ``precomputed_kv=(k, v)``: skip K/V projection (cross-attention).
+        """
+        q = self._split(self.wqkv_q(x_q))
+        if precomputed_kv is not None:
+            k, v = precomputed_kv
+        else:
+            if x_kv is None:
+                x_kv = x_q
+            k = self._split(self.wqkv_k(x_kv))
+            v = self._split(self.wqkv_v(x_kv))
+
+        if kv_cache is not None:
+            k_cache, v_cache = kv_cache
+            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k, cache_index, axis=2)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v, cache_index, axis=2)
+            s_max = k_cache.shape[2]
+            kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, q.shape[2], s_max), 3)
+            valid = kj < (cache_index + k.shape[2])
+            if causal:
+                qi = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 1, q.shape[2], s_max), 2) + cache_index
+                valid = jnp.logical_and(valid, kj <= qi)
+            out = scaled_dot_product_attention(q, k_cache, v_cache, mask=valid)
+            out = self.w_o(self._merge(out))
+            return out, (k_cache, v_cache)
+
+        out = scaled_dot_product_attention(q, k, v, causal=causal)
+        return self.w_o(self._merge(out))

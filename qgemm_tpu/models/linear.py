@@ -1,0 +1,71 @@
+"""Linear layer — parity with src/modules/linear.cuh.
+
+y = x W + b (forward :49-56). The reference hand-writes the backward
+(dW = x^T dy, db = colsum(dy), dx = dy W^T, :63-72); here the module is a
+registered pytree and ``jax.grad`` derives exactly those VJPs from the
+forward. Init is Kaiming-uniform ±1/sqrt(in_dim) (:33-39).
+
+``QuantizedLinear`` is the serving artifact: weights quantized offline to
+int8 with per-column absmax scales; the forward routes through the fused
+Pallas quantized matmul. ``Linear.quantize()`` converts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from qgemm_tpu.ops.quantize import (
+    QuantizedWeight,
+    quantize_weights,
+    quantized_matmul_prequant,
+)
+from qgemm_tpu.utils.prng import uniform_init
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=("w", "b"), meta_fields=())
+@dataclass
+class Linear:
+    w: jax.Array                 # [in_dim, out_dim]
+    b: Optional[jax.Array]       # [out_dim] or None
+
+    @classmethod
+    def init(cls, key, in_dim: int, out_dim: int, bias: bool = True,
+             dtype=jnp.float32) -> "Linear":
+        bound = 1.0 / (in_dim ** 0.5)
+        kw, kb = jax.random.split(key)
+        w = uniform_init(kw, (in_dim, out_dim), bound, dtype)
+        b = uniform_init(kb, (out_dim,), bound, dtype) if bias else None
+        return cls(w=w, b=b)
+
+    def __call__(self, x):
+        y = jnp.dot(x, self.w, preferred_element_type=jnp.float32).astype(x.dtype)
+        if self.b is not None:
+            y = y + self.b
+        return y
+
+    def quantize(self) -> "QuantizedLinear":
+        return QuantizedLinear(wq=quantize_weights(self.w), b=self.b,
+                               out_features=self.w.shape[1])
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("wq", "b"), meta_fields=("out_features",))
+@dataclass
+class QuantizedLinear:
+    wq: QuantizedWeight
+    b: Optional[jax.Array]
+    out_features: int
+
+    def __call__(self, x):
+        orig_shape = x.shape
+        x2 = x.reshape(-1, orig_shape[-1])
+        y = quantized_matmul_prequant(x2, self.wq).astype(x.dtype)
+        y = y.reshape(*orig_shape[:-1], self.out_features)
+        if self.b is not None:
+            y = y + self.b
+        return y

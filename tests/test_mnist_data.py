@@ -1,0 +1,75 @@
+"""MNIST idx pipeline tests — numpy fallback vs native C++ loader parity
+(reference: src/utils/dataset_mnist.hh)."""
+
+import numpy as np
+import pytest
+
+from qgemm_tpu.data import mnist
+
+
+@pytest.fixture
+def idx_files(tmp_path):
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 1, size=(64, 784)).astype(np.float32)
+    labels = rng.integers(0, 10, size=(64,)).astype(np.int32)
+    img_path = str(tmp_path / "train-images-idx3-ubyte")
+    lbl_path = str(tmp_path / "train-labels-idx1-ubyte")
+    mnist.write_idx_images(img_path, images)
+    mnist.write_idx_labels(lbl_path, labels)
+    return img_path, lbl_path, images, labels
+
+
+def test_idx_roundtrip(idx_files):
+    img_path, lbl_path, images, labels = idx_files
+    got_img = mnist.load_idx_images(img_path)
+    got_lbl = mnist.load_idx_labels(lbl_path)
+    assert got_img.shape == (64, 784) and got_img.dtype == np.float32
+    assert got_img.min() >= 0 and got_img.max() <= 1
+    # uint8 storage quantizes to 1/255 steps
+    assert np.abs(got_img - images).max() <= 0.5 / 255 + 1e-6
+    assert np.array_equal(got_lbl, labels)
+
+
+def test_bad_magic_rejected(tmp_path):
+    p = tmp_path / "bogus"
+    p.write_bytes(b"\x00\x00\x00\x07" + b"\x00" * 32)
+    with pytest.raises(ValueError):
+        mnist.load_idx_images(str(p))
+    with pytest.raises(ValueError):
+        mnist.load_idx_labels(str(p))
+
+
+def test_native_loader_parity(idx_files):
+    from qgemm_tpu.data import native
+    if not native.available():
+        pytest.skip("native loader not built (run: make -C csrc)")
+    img_path, lbl_path, _, labels = idx_files
+    # native vs numpy fallback bit-parity
+    import struct
+    with open(img_path, "rb") as f:
+        magic, n, rows, cols = struct.unpack(">iiii", f.read(16))
+        buf = np.frombuffer(f.read(n * rows * cols), dtype=np.uint8)
+    ref = (buf.astype(np.float32) / 255.0).reshape(n, rows * cols)
+    got = native.load_idx_images(img_path)
+    assert np.array_equal(got, ref)
+    assert np.array_equal(native.load_idx_labels(lbl_path), labels)
+
+
+def test_native_shuffle_is_permutation():
+    from qgemm_tpu.data import native
+    if not native.available():
+        pytest.skip("native loader not built")
+    idx = native.shuffle_indices(1000, seed=42)
+    assert sorted(idx.tolist()) == list(range(1000))
+    idx2 = native.shuffle_indices(1000, seed=42)
+    assert np.array_equal(idx, idx2)  # deterministic
+    assert not np.array_equal(idx, np.arange(1000))
+
+
+def test_batches_cover_and_shuffle():
+    ds = mnist.MNIST.synthetic(100, seed=1)
+    seen = []
+    for bx, by in ds.batches(32, seed=0):
+        assert bx.shape == (32, 784) and by.shape == (32,)
+        seen.append(bx)
+    assert len(seen) == 3  # drop_last
