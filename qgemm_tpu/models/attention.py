@@ -163,5 +163,14 @@ class MultiHeadAttention:
             out = self.w_o(self._merge(out))
             return out, (k_cache, v_cache)
 
-        out = scaled_dot_product_attention(q, k, v, causal=causal)
+        out = _dispatch_attention(q, k, v, causal=causal)
         return self.w_o(self._merge(out))
+
+
+def _dispatch_attention(q, k, v, causal: bool):
+    """Full-sequence path: flash kernel on TPU for non-trivial lengths
+    (O(S*d) memory, scores never hit HBM), jnp composition otherwise."""
+    if jax.default_backend() != "cpu" and q.shape[-2] >= 128 and k.shape[-2] >= 128:
+        from qgemm_tpu.ops.pallas.flash_attention import flash_attention
+        return flash_attention(q, k, v, causal=causal)
+    return scaled_dot_product_attention(q, k, v, causal=causal)

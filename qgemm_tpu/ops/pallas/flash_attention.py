@@ -1,0 +1,171 @@
+"""Blockwise (flash-style) attention Pallas kernel.
+
+The reference materializes the full S x S score matrix in HBM and runs a
+one-thread-per-row softmax (src/modules/attention.cuh:58-68 +
+op_softmax.cuh) — O(S^2) HBM and the exact long-context wall SURVEY.md §5
+flags. This kernel computes softmax(QK^T/sqrt(d)) V with the online
+max/sum recurrence: K/V are streamed through VMEM in blocks, scores never
+touch HBM, memory is O(S * d).
+
+Grid: (batch*heads, Sq/BQ, Sk/BK), K innermost so the accumulator scratch
+carries across K steps. Causal masking skips fully-masked K blocks'
+contribution via predication (the mask is applied in-block; Pallas still
+visits the block — acceptable at these sizes; a future optimization is a
+lower-triangular grid).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  scale: float, causal: bool, n_k: int, bq: int, bk: int,
+                  sq_valid: int, sk_valid: int):
+    kk = pl.program_id(2)
+    iq = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)            # [BQ, D]
+    k = k_ref[0].astype(jnp.float32)            # [BK, D]
+    v = v_ref[0].astype(jnp.float32)            # [BK, Dv]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale  # [BQ,BK]
+
+    qi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * bq
+    kj = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kk * bk
+    mask = kj < sk_valid
+    if causal:
+        mask = jnp.logical_and(mask, kj <= qi)
+    s = jnp.where(mask, s, _NEG_INF)
+
+    m_prev = m_scr[:]                            # [BQ, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    # guard fully-masked rows (all -inf): keep exp argument finite
+    p = jnp.exp(s - m_new)
+    p = jnp.where(mask, p, 0.0)
+    alpha = jnp.exp(m_prev - m_new)
+
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_scr[:] = m_new
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(kk == n_k - 1)
+    def _finish():
+        l = jnp.maximum(l_scr[:], 1e-30)
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+def _reference_attention(q, k, v, causal: bool):
+    """jnp oracle, used for the recompute-based backward."""
+    d = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) / (d ** 0.5)
+    if causal:
+        sq, sk = s.shape[-2], s.shape[-1]
+        qi = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+        kj = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+        s = jnp.where(kj <= qi, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkv->bhqv", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(q, k, v, causal: bool = False):
+    """q [B, H, Sq, D], k/v [B, H, Sk, D/Dv] -> [B, H, Sq, Dv].
+
+    Numerically equivalent to softmax(QK^T/sqrt(D)) V with padding-safe
+    masking; q/k/v may be f32 or bf16 (compute is f32). Differentiable: the
+    backward recomputes attention with the jnp composition (flash backward
+    kernel is a future optimization — inference is the hot path here).
+    """
+    return _flash_attention_fwd_impl(q, k, v, causal)
+
+
+def _flash_fwd(q, k, v, causal):
+    return _flash_attention_fwd_impl(q, k, v, causal), (q, k, v)
+
+
+def _flash_bwd(causal, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _reference_attention(q_, k_, v_, causal),
+                     q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("causal",))
+def _flash_attention_fwd_impl(q, k, v, causal: bool = False):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    dv = v.shape[3]
+    scale = 1.0 / (d ** 0.5)
+
+    bq = min(512, _round_up(sq, 8))
+    bk = min(512, _round_up(sk, 128))
+    sqp, skp = _round_up(sq, bq), _round_up(sk, bk)
+    dp, dvp = _round_up(d, 128), _round_up(dv, 128)
+
+    qp = jnp.pad(q.reshape(b * h, sq, d), ((0, 0), (0, sqp - sq), (0, dp - d)))
+    kp = jnp.pad(k.reshape(b * h, sk, d), ((0, 0), (0, skp - sk), (0, dp - d)))
+    vp = jnp.pad(v.reshape(b * h, sk, dv), ((0, 0), (0, skp - sk), (0, dvp - dv)))
+
+    n_k = skp // bk
+    grid = (b * h, sqp // bq, n_k)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, causal=causal, n_k=n_k,
+                          bq=bq, bk=bk, sq_valid=sq, sk_valid=sk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda bh, iq, kk: (bh, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dp), lambda bh, iq, kk: (bh, kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dvp), lambda bh, iq, kk: (bh, kk, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dvp), lambda bh, iq, kk: (bh, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sqp, dvp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),    # running max
+            pltpu.VMEM((bq, 1), jnp.float32),    # running sum
+            pltpu.VMEM((bq, dvp), jnp.float32),  # output accumulator
+        ],
+        compiler_params=_compiler_params(("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(qp, kp, vp)
+    return out[:, :sq, :dv].reshape(b, h, sq, dv)
+
+
+def _compiler_params(dimension_semantics):
+    try:
+        return pltpu.CompilerParams(dimension_semantics=dimension_semantics)
+    except TypeError:
+        return pltpu.TPUCompilerParams(dimension_semantics=dimension_semantics)

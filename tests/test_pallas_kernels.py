@@ -1,0 +1,93 @@
+"""Pallas kernel oracles: softmax, layernorm+residual, flash attention must
+match the jnp reference ops (interpret mode on the CPU test mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qgemm_tpu.models.attention import scaled_dot_product_attention
+from qgemm_tpu.ops.layernorm import layernorm, layernorm_residual
+from qgemm_tpu.ops.pallas.flash_attention import flash_attention
+from qgemm_tpu.ops.pallas.layernorm import layernorm_residual_pallas
+from qgemm_tpu.ops.pallas.softmax import softmax_pallas
+from qgemm_tpu.ops.softmax import softmax
+from qgemm_tpu.utils.testing import assert_allclose
+
+RNG = np.random.default_rng(21)
+
+
+@pytest.mark.parametrize("shape", [(8, 128), (33, 200), (2, 5, 96)])
+def test_softmax_pallas_matches_ref(shape):
+    x = jnp.asarray(RNG.normal(size=shape).astype(np.float32) * 5)
+    assert_allclose(softmax_pallas(x), softmax(x), rtol=1e-5, atol=1e-6,
+                    msg=str(shape))
+
+
+def test_softmax_pallas_padding_rows_ignored():
+    # odd row count exercises the padded-tile path
+    x = jnp.asarray(RNG.normal(size=(3, 130)).astype(np.float32))
+    out = np.asarray(softmax_pallas(x))
+    assert_allclose(out.sum(-1), np.ones(3), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(16, 128), (7, 200)])
+def test_layernorm_pallas_matches_ref(shape):
+    x = jnp.asarray(RNG.normal(size=shape).astype(np.float32))
+    r = jnp.asarray(RNG.normal(size=shape).astype(np.float32))
+    g = jnp.asarray(RNG.normal(size=(shape[-1],)).astype(np.float32))
+    b = jnp.asarray(RNG.normal(size=(shape[-1],)).astype(np.float32))
+    got = layernorm_residual_pallas(x, r, g, b)
+    want = layernorm_residual(x, r, gamma=g, beta=b)
+    assert_allclose(got, want, rtol=1e-4, atol=1e-5, msg=str(shape))
+
+
+def test_layernorm_pallas_no_residual_no_affine():
+    x = jnp.asarray(RNG.normal(size=(9, 160)).astype(np.float32))
+    got = layernorm_residual_pallas(x)
+    want = layernorm(x)
+    assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("shape", [
+    # (b, h, sq, sk, d)
+    (1, 2, 128, 128, 64),
+    (2, 1, 100, 130, 32),   # ragged: exercises padding masks
+])
+def test_flash_attention_matches_ref(causal, shape):
+    b, h, sq, sk, d = shape
+    q = jnp.asarray(RNG.normal(size=(b, h, sq, d)).astype(np.float32))
+    k = jnp.asarray(RNG.normal(size=(b, h, sk, d)).astype(np.float32))
+    v = jnp.asarray(RNG.normal(size=(b, h, sk, d)).astype(np.float32))
+    if causal and sq != sk:
+        pytest.skip("causal requires sq == sk in the reference helper")
+    got = flash_attention(q, k, v, causal=causal)
+    want = scaled_dot_product_attention(q, k, v, causal=causal)
+    assert_allclose(got, want, rtol=1e-4, atol=1e-5,
+                    msg=f"causal={causal} {shape}")
+
+
+def test_flash_attention_multiblock_online_softmax():
+    """sk larger than one block forces >1 K iterations (the online max/sum
+    recurrence actually runs)."""
+    b, h, sq, sk, d = 1, 1, 64, 1024, 64
+    q = jnp.asarray(RNG.normal(size=(b, h, sq, d)).astype(np.float32))
+    k = jnp.asarray(RNG.normal(size=(b, h, sk, d)).astype(np.float32) * 3)
+    v = jnp.asarray(RNG.normal(size=(b, h, sk, d)).astype(np.float32))
+    got = flash_attention(q, k, v)
+    want = scaled_dot_product_attention(q, k, v)
+    assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_bf16():
+    b, h, s, d = 1, 2, 128, 64
+    q = jnp.asarray(RNG.normal(size=(b, h, s, d)), dtype=jnp.bfloat16)
+    k = jnp.asarray(RNG.normal(size=(b, h, s, d)), dtype=jnp.bfloat16)
+    v = jnp.asarray(RNG.normal(size=(b, h, s, d)), dtype=jnp.bfloat16)
+    got = flash_attention(q, k, v, causal=True).astype(jnp.float32)
+    want = scaled_dot_product_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        causal=True)
+    rel = np.linalg.norm(np.asarray(got - want)) / np.linalg.norm(np.asarray(want))
+    assert rel < 0.02, rel
