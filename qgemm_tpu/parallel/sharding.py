@@ -1,0 +1,79 @@
+"""Sharding rules for the transformer pytree (GSPMD path).
+
+Megatron-style tensor parallelism over the ``model`` axis:
+  * QKV projections: column-sharded  [d, d]  -> P(None, "model")
+    (head dim splits across devices — heads are data-parallel within attn)
+  * output projection W_O: row-sharded [d, d] -> P("model", None)
+    (GSPMD inserts the all-reduce after the partial matmul)
+  * FFN up: column-sharded; FFN down: row-sharded (one all-reduce per block)
+  * lm_head: column-sharded over vocab
+  * embeddings / LayerNorm / biases: replicated
+  * activations: batch-sharded over ``data``
+
+``shard_model`` device_puts every leaf with its NamedSharding; under
+``jax.jit`` XLA then inserts all-gather/reduce-scatter/all-reduce
+collectives automatically. The explicit-collective shard_map path (for
+Pallas kernels, which GSPMD cannot partition) lives in parallel/tp_ops.py.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# path-substring -> (spec for 2-D weight, spec override for 1-D bias)
+_COL = P(None, "model")   # output-dim sharded
+_ROW = P("model", None)   # input-dim sharded (needs all-reduce after)
+_REP = P()
+
+_RULES = (
+    # (field substrings that must all appear in the path, 2d spec, 1d spec)
+    (("wqkv_q",), _COL, P("model")),
+    (("wqkv_k",), _COL, P("model")),
+    (("wqkv_v",), _COL, P("model")),
+    (("w_o",), _ROW, _REP),
+    (("ffn", "up"), _COL, P("model")),
+    (("ffn", "down"), _ROW, _REP),
+    (("lm_head",), _COL, _REP),
+)
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "name", getattr(k, "idx", k))) for k in path)
+
+
+def _spec_for_leaf(path, leaf):
+    p = _path_str(path)
+    for substrings, spec2d, spec1d in _RULES:
+        if all(s in p for s in substrings):
+            if leaf.ndim >= 2:
+                # QuantizedWeight.c has shape [1, n]: shard its n like the
+                # weight's output dim when column-sharded, replicate when
+                # row-sharded (scales follow the columns they describe).
+                if leaf.shape[0] == 1 and spec2d == _ROW:
+                    return _REP
+                if leaf.shape[0] == 1 and spec2d == _COL:
+                    return P(None, "model")
+                return spec2d
+            return spec1d
+    return _REP
+
+
+def model_sharding_spec(model):
+    """PartitionSpec pytree matching the model's structure."""
+    return jax.tree_util.tree_map_with_path(lambda p, l: _spec_for_leaf(p, l),
+                                            model)
+
+
+def shard_model(model, mesh: Mesh):
+    """device_put every parameter with its NamedSharding."""
+    spec = model_sharding_spec(model)
+    return jax.tree_util.tree_map(
+        lambda l, s: jax.device_put(l, NamedSharding(mesh, s)), model, spec)
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Shard leading (batch) dim of every array in a pytree."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(
+            mesh, P(axis, *([None] * (x.ndim - 1))))), batch)

@@ -1,0 +1,110 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(greenfield capability — SURVEY.md §2 'Parallelism & distributed' and §7 M5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qgemm_tpu.models.optim import sgd_step
+from qgemm_tpu.models.transformer import Transformer, TransformerConfig
+from qgemm_tpu.ops.cross_entropy import cross_entropy_loss
+from qgemm_tpu.ops.quantize import quantize_weights, quantized_matmul_prequant
+from qgemm_tpu.parallel.mesh import make_mesh
+from qgemm_tpu.parallel.sharding import model_sharding_spec, shard_batch, shard_model
+from qgemm_tpu.parallel.tp_ops import (
+    tp_quantized_matmul_column,
+    tp_quantized_matmul_row,
+)
+from qgemm_tpu.utils.testing import assert_allclose
+
+RNG = np.random.default_rng(5)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (virtual) devices")
+
+
+def test_tp_column_matches_single_chip():
+    mesh = make_mesh((1, 4), ("data", "model"))
+    x = jnp.asarray(RNG.normal(size=(16, 64)).astype(np.float32))
+    w = jnp.asarray(RNG.normal(size=(64, 128)).astype(np.float32))
+    wq = quantize_weights(w)
+    ref = quantized_matmul_prequant(x, wq, backend="xla")
+    got = tp_quantized_matmul_column(x, wq.q, wq.c, mesh)
+    assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_tp_row_matches_single_chip():
+    """Row-parallel with the global-absmax pmax: must be EXACTLY the
+    single-chip quantization grid (same int8 values, same scales)."""
+    mesh = make_mesh((1, 4), ("data", "model"))
+    x = jnp.asarray(RNG.normal(size=(16, 128)).astype(np.float32))
+    w = jnp.asarray(RNG.normal(size=(128, 64)).astype(np.float32))
+    wq = quantize_weights(w)
+    ref = quantized_matmul_prequant(x, wq, backend="xla")
+    got = tp_quantized_matmul_row(x, wq.q, wq.c, mesh)
+    assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_sharded_training_step_matches_unsharded():
+    cfg = TransformerConfig(vocab_size=64, d_model=16, n_heads=4, d_ff=32,
+                            n_layers=1, max_seq_len=16)
+    model = Transformer.init(cfg, key=jax.random.PRNGKey(0))
+    src = jnp.asarray(RNG.integers(0, 64, (4, 6)).astype(np.int32))
+    tgt_in = jnp.asarray(RNG.integers(0, 64, (4, 5)).astype(np.int32))
+    tgt_out = jnp.asarray(RNG.integers(0, 64, (4, 5)).astype(np.int32))
+
+    def loss_fn(m):
+        logits = m.forward(src, tgt_in)
+        return cross_entropy_loss(logits.reshape(-1, cfg.vocab_size),
+                                  tgt_out.reshape(-1))
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(model)
+
+    mesh = make_mesh((2, 4), ("data", "model"))
+    sharded = shard_model(model, mesh)
+    loss_sh, grads_sh = jax.jit(jax.value_and_grad(loss_fn))(sharded)
+    assert_allclose(loss_sh, loss_ref, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(grads_sh)[:5],
+                    jax.tree_util.tree_leaves(grads_ref)[:5]):
+        assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    # one SGD step executes with sharded params
+    new_model = jax.jit(lambda m, g: sgd_step(m, g, 0.01))(sharded, grads_sh)
+    jax.block_until_ready(jax.tree_util.tree_leaves(new_model)[0])
+
+
+def test_sharding_spec_rules():
+    cfg = TransformerConfig(vocab_size=64, d_model=16, n_heads=4, d_ff=32,
+                            n_layers=1, max_seq_len=16)
+    model = Transformer.init(cfg, key=jax.random.PRNGKey(0))
+    spec = model_sharding_spec(model)
+    blk = spec.enc_blocks[0]
+    from jax.sharding import PartitionSpec as P
+    assert blk.attn.wqkv_q.w == P(None, "model")
+    assert blk.attn.w_o.w == P("model", None)
+    assert blk.ffn.up.w == P(None, "model")
+    assert blk.ffn.down.w == P("model", None)
+    assert blk.ln1.gamma == P()
+    assert spec.lm_head.w == P(None, "model")
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh((2, 4), ("data", "model"))
+    batch = {"x": jnp.zeros((8, 3)), "y": jnp.zeros((8,), jnp.int32)}
+    sb = shard_batch(batch, mesh)
+    assert "data" in str(sb["x"].sharding.spec)
+
+
+def test_quantized_sharded_model_spec():
+    """Quantized pytree (int8 weights + scales) shards consistently."""
+    cfg = TransformerConfig(vocab_size=64, d_model=16, n_heads=4, d_ff=32,
+                            n_layers=1, max_seq_len=16)
+    q = Transformer.init(cfg, key=jax.random.PRNGKey(0)).quantize()
+    spec = model_sharding_spec(q)
+    from jax.sharding import PartitionSpec as P
+    blk = spec.enc_blocks[0]
+    assert blk.attn.wqkv_q.wq.q == P(None, "model")
+    assert blk.attn.wqkv_q.wq.c == P(None, "model")   # scales follow columns
+    assert blk.attn.w_o.wq.q == P("model", None)
+    assert blk.attn.w_o.wq.c == P()                   # replicated for row-sharded
