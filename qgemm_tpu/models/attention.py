@@ -150,14 +150,27 @@ class MultiHeadAttention:
 
         if kv_cache is not None:
             k_cache, v_cache = kv_cache
-            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k, cache_index, axis=2)
-            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v, cache_index, axis=2)
             s_max = k_cache.shape[2]
+            per_slot = getattr(cache_index, "ndim", 0) == 1  # [B] positions
+            if per_slot:
+                # continuous batching: each batch slot writes at its own
+                # position (vmapped one-element dynamic update, in-place)
+                upd = jax.vmap(lambda c, n, i:
+                               jax.lax.dynamic_update_slice_in_dim(c, n, i, axis=1))
+                k_cache = upd(k_cache, k, cache_index)
+                v_cache = upd(v_cache, v, cache_index)
+                idx = cache_index[:, None, None, None]
+            else:
+                k_cache = jax.lax.dynamic_update_slice_in_dim(
+                    k_cache, k, cache_index, axis=2)
+                v_cache = jax.lax.dynamic_update_slice_in_dim(
+                    v_cache, v, cache_index, axis=2)
+                idx = cache_index
             kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, q.shape[2], s_max), 3)
-            valid = kj < (cache_index + k.shape[2])
+            valid = kj < (idx + k.shape[2])
             if causal:
                 qi = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, 1, q.shape[2], s_max), 2) + cache_index
+                    jnp.int32, (1, 1, q.shape[2], s_max), 2) + idx
                 valid = jnp.logical_and(valid, kj <= qi)
             out = scaled_dot_product_attention(q, k_cache, v_cache, mask=valid)
             out = self.w_o(self._merge(out))

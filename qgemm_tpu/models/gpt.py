@@ -1,0 +1,175 @@
+"""Decoder-only transformer (GPT-style) — the serving-path model family.
+
+BASELINE config 5 targets a "6.7B-class decoder with outlier-column
+decomposition, tensor-sharded, with continuous batching"; the reference has
+no decoder-only model at all (its demo is a random-weight encoder-decoder).
+This module + serving/engine.py provide that family: causal LM with pre-LN
+blocks, KV-cache decoding with per-slot positions (continuous batching), and
+offline int8 quantization of every GEMM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from qgemm_tpu.models.attention import MultiHeadAttention
+from qgemm_tpu.models.embedding import Embedding
+from qgemm_tpu.models.linear import Linear
+from qgemm_tpu.models.transformer import FeedForward, LayerNorm
+
+
+@dataclass(frozen=True)
+class GPTConfig:
+    vocab_size: int = 32000
+    d_model: int = 512
+    n_heads: int = 8
+    d_ff: int = 2048
+    n_layers: int = 6
+    max_seq_len: int = 1024
+    dtype: str = "float32"
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+
+# the LLM.int8() regime: models >6.7B params benefit (README.md:26)
+GPT_6_7B = GPTConfig(vocab_size=50272, d_model=4096, n_heads=32, d_ff=16384,
+                     n_layers=32, max_seq_len=2048, dtype="bfloat16")
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("attn", "ffn", "ln1", "ln2"), meta_fields=())
+@dataclass
+class GPTBlock:
+    attn: MultiHeadAttention
+    ffn: FeedForward
+    ln1: LayerNorm
+    ln2: LayerNorm
+
+    @classmethod
+    def init(cls, key, cfg: GPTConfig) -> "GPTBlock":
+        k1, k2 = jax.random.split(key)
+        d = cfg.jdtype
+        return cls(attn=MultiHeadAttention.init(k1, cfg.d_model, cfg.n_heads,
+                                                dtype=d),
+                   ffn=FeedForward.init(k2, cfg.d_model, cfg.d_ff, dtype=d),
+                   ln1=LayerNorm.init(cfg.d_model, d),
+                   ln2=LayerNorm.init(cfg.d_model, d))
+
+    def quantize(self) -> "GPTBlock":
+        return GPTBlock(attn=self.attn.quantize(), ffn=self.ffn.quantize(),
+                        ln1=self.ln1, ln2=self.ln2)
+
+    def __call__(self, x, cache=None, cache_index=None):
+        if cache is None:
+            x = x + self.attn(self.ln1(x), causal=True)
+        else:
+            a, cache = self.attn(self.ln1(x), causal=True, kv_cache=cache,
+                                 cache_index=cache_index)
+            x = x + a
+        x = x + self.ffn(self.ln2(x))
+        return (x, cache) if cache is not None else x
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("embed", "blocks", "ln_f", "lm_head"),
+         meta_fields=("cfg",))
+@dataclass
+class GPT:
+    embed: Embedding
+    blocks: List[GPTBlock]
+    ln_f: LayerNorm
+    lm_head: object
+    cfg: GPTConfig
+
+    @classmethod
+    def init(cls, cfg: GPTConfig, key: Optional[jax.Array] = None) -> "GPT":
+        keys = iter(jax.random.split(key if key is not None
+                                     else jax.random.PRNGKey(0),
+                                     cfg.n_layers + 2))
+        d = cfg.jdtype
+        return cls(embed=Embedding.init(next(keys), cfg.vocab_size,
+                                        cfg.d_model, cfg.max_seq_len, d),
+                   blocks=[GPTBlock.init(next(keys), cfg)
+                           for _ in range(cfg.n_layers)],
+                   ln_f=LayerNorm.init(cfg.d_model, d),
+                   lm_head=Linear.init(next(keys), cfg.d_model,
+                                       cfg.vocab_size, bias=False, dtype=d),
+                   cfg=cfg)
+
+    def quantize(self) -> "GPT":
+        return replace(self, blocks=[b.quantize() for b in self.blocks],
+                       lm_head=self.lm_head.quantize())
+
+    def num_params(self) -> int:
+        return sum(int(l.size) for l in jax.tree_util.tree_leaves(self)
+                   if hasattr(l, "size"))
+
+    # ------------------------------------------------------------------ fwd
+    def forward(self, tokens):
+        """tokens [B, S] -> logits [B, S, vocab] (causal, teacher forcing)."""
+        x = self.embed(tokens)
+        for blk in self.blocks:
+            x = blk(x)
+        return self.lm_head(self.ln_f(x))
+
+    __call__ = forward
+
+    # ------------------------------------------------------------- decoding
+    def init_cache(self, batch: int, max_len: Optional[int] = None):
+        cfg = self.cfg
+        s = max_len or cfg.max_seq_len
+        dh = cfg.d_model // cfg.n_heads
+        z = lambda: jnp.zeros((batch, cfg.n_heads, s, dh), cfg.jdtype)
+        return [(z(), z()) for _ in self.blocks]
+
+    def decode_step(self, tok, pos, caches):
+        """tok [B, 1]; pos scalar or [B] (per-slot, continuous batching).
+        Returns (logits [B, vocab], new caches)."""
+        if getattr(pos, "ndim", 0) == 1:
+            # per-slot positions: gather each slot's own positional encoding
+            emb = jnp.take(self.embed.table, tok, axis=0)
+            x = emb + jnp.take(self.embed.pos, pos, axis=0)[:, None, :]
+        else:
+            x = self.embed(tok, offset=pos)
+        new_caches = []
+        for blk, cache in zip(self.blocks, caches):
+            x, cache = blk(x, cache=cache, cache_index=pos)
+            new_caches.append(cache)
+        logits = self.lm_head(self.ln_f(x))[:, -1, :]
+        return logits, new_caches
+
+    def prefill(self, tokens, caches, lengths=None):
+        """Write a whole prompt's K/V in one pass and return the logits at
+        each position. tokens [B, S_prompt] (left-aligned, zero-padded when
+        lengths given). Scalar-position path (all slots aligned at 0)."""
+        x = self.embed(tokens)
+        new_caches = []
+        for blk, cache in zip(self.blocks, caches):
+            x, cache = blk(x, cache=cache, cache_index=0)
+            new_caches.append(cache)
+        return self.lm_head(self.ln_f(x)), new_caches
+
+    def generate(self, prompt, max_new_tokens: int):
+        """Greedy LM generation: prefill the prompt, then scan decode steps.
+        prompt [B, S_p] -> [B, max_new_tokens]."""
+        b, s_p = prompt.shape
+        caches = self.init_cache(b, s_p + max_new_tokens)
+        logits, caches = self.prefill(prompt, caches)
+        tok0 = jnp.argmax(logits[:, -1, :], axis=-1)[:, None]
+
+        def step(carry, t):
+            tok, caches = carry
+            logits, caches = self.decode_step(tok, s_p + t, caches)
+            nxt = jnp.argmax(logits, axis=-1)[:, None]
+            return (nxt, caches), tok[:, 0]
+
+        (_, _), toks = jax.lax.scan(step, (tok0, caches),
+                                    jnp.arange(max_new_tokens))
+        return toks.T

@@ -1,0 +1,153 @@
+"""Continuous batching inference engine.
+
+Greenfield capability (BASELINE north star: "continuous batching across
+hosts"; the reference is a single fixed-shape demo). Design:
+
+  * a fixed pool of ``max_slots`` batch slots, each with its own position
+    in a shared static-shape KV cache (per-slot ``cache_index`` vector —
+    GSPMD/jit-friendly: shapes never change, occupancy is data);
+  * every engine ``step()`` runs ONE jitted decode step over all slots;
+    inactive slots decode garbage that is masked out on the host;
+  * new requests are admitted into free slots between steps; their prompt
+    is prefilled into the slot's cache region by a jitted per-slot prefill
+    (prompts padded to the slot's bucket length);
+  * finished sequences (EOS or max_new_tokens) free their slot immediately —
+    the batch never drains, which is the whole point of continuous batching.
+
+The model can be fp32/bf16 or int8-quantized (``model.quantize()``); under a
+mesh the same engine drives the tensor-sharded model (weights sharded over
+``model`` axis; the slot dimension shards over ``data``).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class Request:
+    prompt: List[int]
+    max_new_tokens: int = 32
+    eos_token: Optional[int] = None
+    id: int = field(default_factory=itertools.count().__next__)
+    generated: List[int] = field(default_factory=list)
+    done: bool = False
+
+
+class ContinuousBatchingEngine:
+    def __init__(self, model, max_slots: int = 8,
+                 max_seq_len: Optional[int] = None):
+        self.model = model
+        self.max_slots = max_slots
+        self.max_seq_len = max_seq_len or model.cfg.max_seq_len
+
+        self.caches = model.init_cache(max_slots, self.max_seq_len)
+        self.positions = jnp.zeros((max_slots,), jnp.int32)
+        self.cur_tokens = jnp.zeros((max_slots, 1), jnp.int32)
+        self.active = np.zeros((max_slots,), bool)
+        self.slot_req: Dict[int, Request] = {}
+        self.waiting: List[Request] = []
+        self.finished: List[Request] = []
+        self.steps = 0
+
+        self._decode = jax.jit(self._decode_impl)
+        self._prefill = jax.jit(self._prefill_impl, static_argnames=("plen",))
+
+    # ------------------------------------------------------------- jit fns
+    def _decode_impl(self, model, tok, pos, caches):
+        logits, caches = model.decode_step(tok, pos, caches)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return nxt, caches
+
+    def _prefill_impl(self, model, prompt, plen_true, caches, slot_onehot,
+                      plen):
+        """Prefill one slot: run the (bucket-padded) prompt [1, plen] through
+        the model with a fresh cache region, then scatter the slot's K/V rows
+        into the shared cache via the one-hot slot mask. ``plen`` is the
+        static bucket length (one compile per bucket); ``plen_true`` is the
+        traced true prompt length (junk K/V beyond it is never attended —
+        decode masks strictly by per-slot position)."""
+        tmp_caches = model.init_cache(1, plen)
+        logits, tmp_caches = model.prefill(prompt, tmp_caches)
+        new_caches = []
+        sel = slot_onehot[:, None, None, None]  # [slots,1,1,1]
+        for (k_c, v_c), (k_t, v_t) in zip(caches, tmp_caches):
+            k_pad = jnp.pad(k_t, ((0, 0), (0, 0),
+                                  (0, k_c.shape[2] - plen), (0, 0)))
+            v_pad = jnp.pad(v_t, ((0, 0), (0, 0),
+                                  (0, v_c.shape[2] - plen), (0, 0)))
+            new_caches.append((jnp.where(sel, k_pad, k_c),
+                               jnp.where(sel, v_pad, v_c)))
+        last_logits = jnp.take(logits[0], plen_true - 1, axis=0)
+        first_tok = jnp.argmax(last_logits).astype(jnp.int32)
+        return first_tok, new_caches
+
+    # ---------------------------------------------------------------- admin
+    def submit(self, req: Request):
+        self.waiting.append(req)
+
+    def _admit(self):
+        while self.waiting and not self.active.all():
+            slot = int(np.flatnonzero(~self.active)[0])
+            req = self.waiting.pop(0)
+            plen = len(req.prompt)
+            if plen + req.max_new_tokens > self.max_seq_len:
+                raise ValueError(
+                    f"request {req.id}: prompt {plen} + {req.max_new_tokens} "
+                    f"exceeds max_seq_len {self.max_seq_len}")
+            # bucket prompt length (pow2) to bound recompilation
+            bucket = max(8, 1 << (plen - 1).bit_length())
+            prompt = jnp.asarray(
+                np.pad(np.asarray(req.prompt, np.int32), (0, bucket - plen))[None, :])
+            onehot = jnp.zeros((self.max_slots,), bool).at[slot].set(True)
+            first_tok, self.caches = self._prefill(
+                self.model, prompt, jnp.int32(plen), self.caches, onehot,
+                plen=bucket)
+            # position = true prompt length (next write goes there)
+            self.positions = self.positions.at[slot].set(plen)
+            self.cur_tokens = self.cur_tokens.at[slot, 0].set(first_tok)
+            req.generated.append(int(first_tok))
+            self.active[slot] = True
+            self.slot_req[slot] = req
+            self._maybe_finish(slot)
+
+    def _maybe_finish(self, slot: int):
+        req = self.slot_req.get(slot)
+        if req is None:
+            return
+        last = req.generated[-1] if req.generated else None
+        if (len(req.generated) >= req.max_new_tokens
+                or (req.eos_token is not None and last == req.eos_token)
+                or int(self.positions[slot]) >= self.max_seq_len - 1):
+            req.done = True
+            self.finished.append(req)
+            self.active[slot] = False
+            del self.slot_req[slot]
+
+    # ----------------------------------------------------------------- run
+    def step(self):
+        """Admit waiting requests, run one decode step for all slots."""
+        self._admit()
+        if not self.active.any():
+            return False
+        nxt, self.caches = self._decode(self.model, self.cur_tokens,
+                                        self.positions, self.caches)
+        self.positions = self.positions + jnp.asarray(self.active, jnp.int32)
+        self.cur_tokens = nxt[:, None]
+        nxt_host = np.asarray(nxt)
+        for slot in np.flatnonzero(self.active):
+            self.slot_req[slot].generated.append(int(nxt_host[slot]))
+            self._maybe_finish(int(slot))
+        self.steps += 1
+        return True
+
+    def run_to_completion(self, max_steps: int = 100000):
+        while (self.waiting or self.active.any()) and self.steps < max_steps:
+            self.step()
+        return self.finished

@@ -1,0 +1,105 @@
+"""Decoder-only GPT + continuous batching engine tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qgemm_tpu.models.gpt import GPT, GPTConfig
+from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+from qgemm_tpu.utils.testing import assert_allclose
+
+CFG = GPTConfig(vocab_size=97, d_model=32, n_heads=4, d_ff=64, n_layers=2,
+                max_seq_len=64)
+RNG = np.random.default_rng(9)
+
+
+def _model(seed=0):
+    return GPT.init(CFG, key=jax.random.PRNGKey(seed))
+
+
+def test_forward_and_causality():
+    model = _model()
+    t1 = jnp.asarray([[5, 7, 9, 11]])
+    t2 = jnp.asarray([[5, 7, 9, 96]])
+    l1, l2 = model.forward(t1), model.forward(t2)
+    assert l1.shape == (1, 4, CFG.vocab_size)
+    assert_allclose(l1[:, :3], l2[:, :3], rtol=1e-5, atol=1e-6)
+
+
+def test_generate_matches_naive():
+    model = _model(seed=2)
+    prompt = jnp.asarray([[3, 1, 4, 1, 5]])
+    n_new = 6
+    fast = np.asarray(jax.jit(
+        lambda m, p: m.generate(p, n_new))(model, prompt))
+
+    toks = np.asarray(prompt)
+    naive = []
+    for _ in range(n_new):
+        logits = model.forward(jnp.asarray(toks))
+        nxt = int(jnp.argmax(logits[0, -1]))
+        naive.append(nxt)
+        toks = np.concatenate([toks, [[nxt]]], axis=1)
+    assert fast[0].tolist() == naive, (fast[0].tolist(), naive)
+
+
+def test_prefill_matches_stepwise():
+    """Batched prefill == feeding the prompt token by token."""
+    model = _model(seed=3)
+    prompt = jnp.asarray([[11, 22, 33, 44]])
+    caches_a = model.init_cache(1, 16)
+    logits_a, caches_a = model.prefill(prompt, caches_a)
+
+    caches_b = model.init_cache(1, 16)
+    last = None
+    for t in range(4):
+        last, caches_b = model.decode_step(prompt[:, t:t + 1], t, caches_b)
+    assert_allclose(logits_a[0, -1], last[0], rtol=1e-4, atol=1e-5)
+    for (ka, va), (kb, vb) in zip(caches_a, caches_b):
+        assert_allclose(ka[:, :, :4], kb[:, :, :4], rtol=1e-4, atol=1e-5)
+
+
+def test_engine_matches_generate():
+    """Continuous batching with staggered arrivals and ragged lengths must
+    produce exactly the same greedy continuations as isolated generation."""
+    model = _model(seed=4)
+    prompts = [[3, 1, 4], [2, 7, 1, 8, 2, 8], [9], [5, 5, 5, 5]]
+    n_new = [5, 3, 6, 4]
+
+    expected = []
+    for p, n in zip(prompts, n_new):
+        out = jax.jit(lambda m, pp, nn=n: m.generate(pp, nn))(
+            model, jnp.asarray([p]))
+        expected.append(np.asarray(out)[0].tolist())
+
+    engine = ContinuousBatchingEngine(model, max_slots=2, max_seq_len=32)
+    reqs = [Request(prompt=p, max_new_tokens=n)
+            for p, n in zip(prompts, n_new)]
+    # stagger: submit 3 now, 1 later
+    for r in reqs[:3]:
+        engine.submit(r)
+    engine.step()
+    engine.step()
+    engine.submit(reqs[3])
+    finished = engine.run_to_completion()
+
+    assert len(finished) == 4
+    for r, exp in zip(reqs, expected):
+        assert r.generated == exp, (r.id, r.generated, exp)
+
+
+def test_engine_eos_frees_slot():
+    model = _model(seed=5)
+    # find what token the model emits first for this prompt, use it as EOS
+    first = int(np.asarray(jax.jit(
+        lambda m, p: m.generate(p, 1))(model, jnp.asarray([[7, 7]])))[0, 0])
+    engine = ContinuousBatchingEngine(model, max_slots=1, max_seq_len=32)
+    engine.submit(Request(prompt=[7, 7], max_new_tokens=10, eos_token=first))
+    done = engine.run_to_completion()
+    assert len(done) == 1 and done[0].generated == [first]
+
+
+def test_quantized_gpt_runs():
+    model = _model(seed=6).quantize()
+    out = jax.jit(lambda m, p: m.generate(p, 3))(model, jnp.asarray([[1, 2]]))
+    assert out.shape == (1, 3)
