@@ -11,11 +11,13 @@ divided by the reference's 0.239x.
 Prints ONE JSON line on stdout; detail goes to stderr.
 """
 
+import argparse
 import json
 import sys
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from qgemm_tpu.ops.pallas.quantized_matmul import (
     quantized_matmul_pallas,
@@ -33,14 +35,36 @@ def log(msg):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-s", "--seed", type=int, default=0)
+    ap.add_argument("-m", type=int, default=M)
+    ap.add_argument("-n", type=int, default=N)
+    ap.add_argument("-k", type=int, default=K)
+    ap.add_argument("--iters", type=int, default=0, help="0 = auto")
+    args = ap.parse_args()
+    m, n, k = args.m, args.n, args.k
+
     on_tpu = jax.default_backend() not in ("cpu",)
     iters, base = (1500, 100) if on_tpu else (5, 1)
+    if args.iters:
+        iters, base = args.iters, max(1, args.iters // 15)
 
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    x = jax.random.normal(k1, (M, K), jnp.float32)
-    w = jax.random.normal(k2, (K, N), jnp.float32)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(args.seed))
+    # reference protocol: uniform(-1,1) operands (timing_quantize.cu:17-20)
+    x = jax.random.uniform(k1, (m, k), jnp.float32, minval=-1, maxval=1)
+    w = jax.random.uniform(k2, (k, n), jnp.float32, minval=-1, maxval=1)
     wq = quantize_weights(w)
-    gflop = 2 * M * N * K / 1e9
+    gflop = 2 * m * n * k / 1e9
+
+    # --- accuracy at the reference's metric ------------------------------
+    exact = np.asarray(jnp.dot(x, w, preferred_element_type=jnp.float32))
+    quant = np.asarray(quantized_matmul_xla(x, w))
+    signed_err = float(np.mean(quant - exact))   # the reference's metric:
+    # op_subtract + .mean() (test_quantize.cu:82-86) is the SIGNED mean —
+    # its README's 4.58078e-05 is residual truncation bias, not |error|
+    abs_err = float(np.mean(np.abs(quant - exact)))
+    log(f"quant error    : signed mean {signed_err:+.3e} "
+        f"(reference metric; theirs 4.58e-5), mean|err| {abs_err:.3e}")
 
     def fp32_mm(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32)

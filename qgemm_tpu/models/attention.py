@@ -111,10 +111,10 @@ class MultiHeadAttention:
         return cls(wqkv_q=mk(ks[0]), wqkv_k=mk(ks[1]), wqkv_v=mk(ks[2]),
                    w_o=mk(ks[3]), n_heads=n_heads)
 
-    def quantize(self) -> "MultiHeadAttention":
+    def quantize(self, **qkw) -> "MultiHeadAttention":
         return MultiHeadAttention(
-            wqkv_q=self.wqkv_q.quantize(), wqkv_k=self.wqkv_k.quantize(),
-            wqkv_v=self.wqkv_v.quantize(), w_o=self.w_o.quantize(),
+            wqkv_q=self.wqkv_q.quantize(**qkw), wqkv_k=self.wqkv_k.quantize(**qkw),
+            wqkv_v=self.wqkv_v.quantize(**qkw), w_o=self.w_o.quantize(**qkw),
             n_heads=self.n_heads)
 
     def _split(self, x):

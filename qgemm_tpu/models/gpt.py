@@ -62,8 +62,9 @@ class GPTBlock:
                    ln1=LayerNorm.init(cfg.d_model, d),
                    ln2=LayerNorm.init(cfg.d_model, d))
 
-    def quantize(self) -> "GPTBlock":
-        return GPTBlock(attn=self.attn.quantize(), ffn=self.ffn.quantize(),
+    def quantize(self, **qkw) -> "GPTBlock":
+        return GPTBlock(attn=self.attn.quantize(**qkw),
+                        ffn=self.ffn.quantize(**qkw),
                         ln1=self.ln1, ln2=self.ln2)
 
     def __call__(self, x, cache=None, cache_index=None):
@@ -103,9 +104,11 @@ class GPT:
                                        cfg.vocab_size, bias=False, dtype=d),
                    cfg=cfg)
 
-    def quantize(self) -> "GPT":
-        return replace(self, blocks=[b.quantize() for b in self.blocks],
-                       lm_head=self.lm_head.quantize())
+    def quantize(self, **qkw) -> "GPT":
+        """Pass outlier_threshold=6.0 for LLM.int8() mixed-precision
+        decomposition (the >6.7B-param regime, README.md:26)."""
+        return replace(self, blocks=[b.quantize(**qkw) for b in self.blocks],
+                       lm_head=self.lm_head.quantize(**qkw))
 
     def num_params(self) -> int:
         return sum(int(l.size) for l in jax.tree_util.tree_leaves(self)

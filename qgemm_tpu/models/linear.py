@@ -23,6 +23,7 @@ from qgemm_tpu.ops.quantize import (
     QuantizedWeight,
     quantize_weights,
     quantized_matmul_prequant,
+    quantized_matmul_prequant_outlier,
 )
 from qgemm_tpu.utils.prng import uniform_init
 
@@ -48,23 +49,36 @@ class Linear:
             y = y + self.b
         return y
 
-    def quantize(self) -> "QuantizedLinear":
+    def quantize(self, outlier_threshold: float = 0.0,
+                 outlier_capacity: int = 32) -> "QuantizedLinear":
+        """outlier_threshold > 0 enables LLM.int8() mixed-precision
+        decomposition at inference (outlier activation dims in bf16)."""
         return QuantizedLinear(wq=quantize_weights(self.w), b=self.b,
-                               out_features=self.w.shape[1])
+                               out_features=self.w.shape[1],
+                               outlier_threshold=outlier_threshold,
+                               outlier_capacity=outlier_capacity)
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=("wq", "b"), meta_fields=("out_features",))
+         data_fields=("wq", "b"),
+         meta_fields=("out_features", "outlier_threshold", "outlier_capacity"))
 @dataclass
 class QuantizedLinear:
     wq: QuantizedWeight
     b: Optional[jax.Array]
     out_features: int
+    outlier_threshold: float = 0.0
+    outlier_capacity: int = 32
 
     def __call__(self, x):
         orig_shape = x.shape
         x2 = x.reshape(-1, orig_shape[-1])
-        y = quantized_matmul_prequant(x2, self.wq).astype(x.dtype)
+        if self.outlier_threshold > 0:
+            y = quantized_matmul_prequant_outlier(
+                x2, self.wq, threshold=self.outlier_threshold,
+                capacity=self.outlier_capacity).astype(x.dtype)
+        else:
+            y = quantized_matmul_prequant(x2, self.wq).astype(x.dtype)
         y = y.reshape(*orig_shape[:-1], self.out_features)
         if self.b is not None:
             y = y + self.b

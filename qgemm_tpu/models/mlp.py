@@ -36,8 +36,8 @@ class MLP:
                   for k, din, dout in zip(keys, layer_dims[:-1], layer_dims[1:])]
         return cls(layers=layers, remat=remat)
 
-    def quantize(self) -> "MLP":
-        return MLP(layers=[l.quantize() for l in self.layers], remat=False)
+    def quantize(self, **qkw) -> "MLP":
+        return MLP(layers=[l.quantize(**qkw) for l in self.layers], remat=False)
 
     def __call__(self, x):
         def block(layer, h):

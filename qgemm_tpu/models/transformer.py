@@ -76,8 +76,8 @@ class FeedForward:
         return cls(up=Linear.init(k1, d_model, d_ff, dtype=dtype),
                    down=Linear.init(k2, d_ff, d_model, dtype=dtype))
 
-    def quantize(self) -> "FeedForward":
-        return FeedForward(up=self.up.quantize(), down=self.down.quantize())
+    def quantize(self, **qkw) -> "FeedForward":
+        return FeedForward(up=self.up.quantize(**qkw), down=self.down.quantize(**qkw))
 
     def __call__(self, x):
         return self.down(jnp.maximum(self.up(x), 0))
@@ -101,8 +101,9 @@ class EncoderBlock:
                    ln1=LayerNorm.init(cfg.d_model, d),
                    ln2=LayerNorm.init(cfg.d_model, d))
 
-    def quantize(self) -> "EncoderBlock":
-        return EncoderBlock(attn=self.attn.quantize(), ffn=self.ffn.quantize(),
+    def quantize(self, **qkw) -> "EncoderBlock":
+        return EncoderBlock(attn=self.attn.quantize(**qkw),
+                            ffn=self.ffn.quantize(**qkw),
                             ln1=self.ln1, ln2=self.ln2)
 
     def __call__(self, x):
@@ -135,10 +136,10 @@ class DecoderBlock:
             ln2=LayerNorm.init(cfg.d_model, d),
             ln3=LayerNorm.init(cfg.d_model, d))
 
-    def quantize(self) -> "DecoderBlock":
-        return DecoderBlock(self_attn=self.self_attn.quantize(),
-                            cross_attn=self.cross_attn.quantize(),
-                            ffn=self.ffn.quantize(),
+    def quantize(self, **qkw) -> "DecoderBlock":
+        return DecoderBlock(self_attn=self.self_attn.quantize(**qkw),
+                            cross_attn=self.cross_attn.quantize(**qkw),
+                            ffn=self.ffn.quantize(**qkw),
                             ln1=self.ln1, ln2=self.ln2, ln3=self.ln3)
 
     def __call__(self, x, enc_kv, self_cache=None, cache_index=None):
@@ -192,13 +193,15 @@ class Transformer:
                                 bias=False, dtype=d),
             cfg=cfg)
 
-    def quantize(self) -> "Transformer":
-        """Offline int8 quantization of every GEMM weight (serving mode)."""
+    def quantize(self, **qkw) -> "Transformer":
+        """Offline int8 quantization of every GEMM weight (serving mode).
+        Pass outlier_threshold=6.0 for LLM.int8() mixed-precision
+        decomposition on large models."""
         return replace(
             self,
-            enc_blocks=[b.quantize() for b in self.enc_blocks],
-            dec_blocks=[b.quantize() for b in self.dec_blocks],
-            lm_head=self.lm_head.quantize())
+            enc_blocks=[b.quantize(**qkw) for b in self.enc_blocks],
+            dec_blocks=[b.quantize(**qkw) for b in self.dec_blocks],
+            lm_head=self.lm_head.quantize(**qkw))
 
     # ------------------------------------------------------------------ fwd
     def encode(self, src_tokens):

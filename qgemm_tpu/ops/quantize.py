@@ -136,6 +136,37 @@ def quantized_matmul_prequant(x, wq: QuantizedWeight, backend: str = "auto",
     return dequantize(acc, cx, wq.c)
 
 
+def quantized_matmul_prequant_outlier(x, wq: QuantizedWeight,
+                                      threshold: float = 6.0,
+                                      capacity: int = 32,
+                                      backend: str = "auto"):
+    """Serving-path outlier decomposition (bitsandbytes semantics): weights
+    live ONLY in int8. Outlier activation feature-dims (|x| column absmax >
+    threshold, static top-k capacity) are zeroed in the int8 path; the
+    matching int8 weight ROWS are dequantized to bf16 on the fly
+    (w_row ~= wq[row] * cw / 127) and matmul'd against the outlier columns
+    in bf16. Memory stays int8; accuracy recovers the X-quantization error,
+    which dominates for LLM.int8()-style outliers."""
+    k = x.shape[-1]
+    capacity = min(capacity, k)
+    col_absmax = jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1)))
+    top_vals, top_idx = jax.lax.top_k(col_absmax, capacity)
+    selected = top_vals > threshold
+
+    mask = jnp.zeros((k,), jnp.bool_).at[top_idx].set(selected)
+    x_in = jnp.where(mask, 0.0, x)
+    out = quantized_matmul_prequant(x_in, wq, backend=backend)
+
+    x_o = jnp.take(x, top_idx, axis=-1) * selected.astype(x.dtype)
+    w_rows = jnp.take(wq.q, top_idx, axis=0).astype(jnp.float32) \
+        * wq.c * (1.0 / QRANGE)                                   # [cap, n]
+    out_fp = jax.lax.dot_general(
+        x_o.astype(jnp.bfloat16), w_rows.astype(jnp.bfloat16),
+        dimension_numbers=(((x_o.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return out + out_fp
+
+
 # ---------------------------------------------------------------------------
 # mixed-precision outlier decomposition (LLM.int8() §3; BASELINE config 5)
 # ---------------------------------------------------------------------------

@@ -63,3 +63,24 @@ def bench_ms(f, *args, iters: int = 400, base: int = 20, repeats: int = 4) -> fl
 
 def flops_per_sec(ms: float, flops: int) -> float:
     return flops / (ms * 1e-3)
+
+
+class trace:
+    """XLA/TPU profiler trace context (SURVEY.md §5 tracing equivalent:
+    replaces the reference's gettimeofday pairs with real per-kernel HLO
+    profiles viewable in TensorBoard/Perfetto)::
+
+        with trace("/tmp/profile"):
+            step(model, batch).block_until_ready()
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        jax.profiler.stop_trace()
+        return False

@@ -1,0 +1,48 @@
+"""Checkpoint/resume round trips (fp32 training state + int8 serving)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qgemm_tpu.models.gpt import GPT, GPTConfig
+from qgemm_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+CFG = GPTConfig(vocab_size=64, d_model=32, n_heads=4, d_ff=64, n_layers=2,
+                max_seq_len=32)
+
+
+def test_roundtrip_fp32(tmp_path):
+    model = GPT.init(CFG, key=jax.random.PRNGKey(0))
+    p = str(tmp_path / "model.npz")
+    save_checkpoint(p, model)
+    restored = load_checkpoint(p, GPT.init(CFG, key=jax.random.PRNGKey(9)))
+    for a, b in zip(jax.tree_util.tree_leaves(model),
+                    jax.tree_util.tree_leaves(restored)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # restored model produces identical logits
+    toks = jnp.asarray([[1, 2, 3]])
+    assert np.array_equal(np.asarray(model.forward(toks)),
+                          np.asarray(restored.forward(toks)))
+
+
+def test_roundtrip_int8_serving(tmp_path):
+    q = GPT.init(CFG, key=jax.random.PRNGKey(1)).quantize()
+    p = str(tmp_path / "model_int8.npz")
+    save_checkpoint(p, q)
+    restored = load_checkpoint(
+        p, GPT.init(CFG, key=jax.random.PRNGKey(2)).quantize())
+    for a, b in zip(jax.tree_util.tree_leaves(q),
+                    jax.tree_util.tree_leaves(restored)):
+        assert a.dtype == b.dtype  # int8 stays int8
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_shape_mismatch_rejected(tmp_path):
+    model = GPT.init(CFG, key=jax.random.PRNGKey(0))
+    p = str(tmp_path / "model.npz")
+    save_checkpoint(p, model)
+    other_cfg = GPTConfig(vocab_size=64, d_model=16, n_heads=4, d_ff=64,
+                          n_layers=2, max_seq_len=32)
+    with pytest.raises((ValueError, KeyError)):
+        load_checkpoint(p, GPT.init(other_cfg, key=jax.random.PRNGKey(0)))
