@@ -1,4 +1,10 @@
 from qgemm_tpu.parallel.mesh import make_mesh  # noqa: F401
+from qgemm_tpu.parallel.pipeline import (  # noqa: F401
+    pipeline_apply,
+    pipeline_gpt_forward,
+    stack_stages,
+)
+from qgemm_tpu.parallel.ring_attention import ring_attention  # noqa: F401
 from qgemm_tpu.parallel.sharding import (  # noqa: F401
     model_sharding_spec,
     shard_batch,

@@ -71,3 +71,39 @@ def run_dryrun(n_devices: int) -> None:
     gen = jax.jit(lambda m, s: m.generate(s, 2))
     toks = gen(model, batch["src"])
     jax.block_until_ready(toks)
+
+    # --- pipeline parallelism: GPipe fwd + bwd over a `pipe` axis ----------
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    from qgemm_tpu.parallel.pipeline import pipeline_gpt_forward
+
+    pipe_mesh = make_mesh((n_devices,), ("pipe",))
+    gcfg = GPTConfig(vocab_size=64, d_model=16, n_heads=2, d_ff=32,
+                     n_layers=2 * n_devices, max_seq_len=16)
+    gpt = GPT.init(gcfg, key=jax.random.PRNGKey(2))
+    gtoks = jnp.zeros((2 * n_devices, 8), jnp.int32)
+
+    @jax.jit
+    def pipe_train_step(m, t):
+        def loss_fn(m):
+            logits = pipeline_gpt_forward(m, t, mesh=pipe_mesh)
+            return cross_entropy_loss(logits.reshape(-1, gcfg.vocab_size),
+                                      t.reshape(-1))
+        loss, grads = jax.value_and_grad(loss_fn)(m)
+        return sgd_step(m, grads, 0.01), loss
+
+    gpt, gloss = pipe_train_step(gpt, gtoks)
+    jax.block_until_ready(gloss)
+    assert bool(jnp.isfinite(gloss)), f"non-finite pipeline loss {gloss}"
+
+    # --- sequence parallelism: causal ring attention over a `seq` axis -----
+    from qgemm_tpu.parallel.ring_attention import ring_attention
+
+    seq_mesh = make_mesh((n_devices,), ("seq",))
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(kq, (2, 2, 8 * n_devices, 8), jnp.float32)
+    kk_ = jax.random.normal(kk, (2, 2, 8 * n_devices, 8), jnp.float32)
+    vv = jax.random.normal(kv, (2, 2, 8 * n_devices, 8), jnp.float32)
+    attn = jax.jit(lambda q, k, v: ring_attention(q, k, v, mesh=seq_mesh,
+                                                  causal=True))(q, kk_, vv)
+    jax.block_until_ready(attn)
+    assert bool(jnp.all(jnp.isfinite(attn))), "non-finite ring attention"
