@@ -40,21 +40,156 @@ class Request:
     done: bool = False
 
 
-class ContinuousBatchingEngine:
-    def __init__(self, model, max_slots: int = 8,
-                 max_seq_len: Optional[int] = None):
-        self.model = model
-        self.max_slots = max_slots
-        self.max_seq_len = max_seq_len or model.cfg.max_seq_len
+class _PyBookkeeper:
+    """Pure-Python host-side serving state machine (queue, slots, positions,
+    transcripts, finish rules). Interface-identical to the native C++
+    scheduler (csrc/scheduler.cpp via serving/native.py) — tests assert the
+    two produce identical transcripts."""
 
-        self.caches = model.init_cache(max_slots, self.max_seq_len)
-        self.positions = jnp.zeros((max_slots,), jnp.int32)
-        self.cur_tokens = jnp.zeros((max_slots, 1), jnp.int32)
+    def __init__(self, max_slots: int, max_seq_len: int):
+        self.max_slots = max_slots
+        self.max_seq_len = max_seq_len
         self.active = np.zeros((max_slots,), bool)
+        self.pos = np.zeros((max_slots,), np.int32)
         self.slot_req: Dict[int, Request] = {}
         self.waiting: List[Request] = []
         self.finished: List[Request] = []
         self.steps = 0
+
+    def submit(self, req: Request):
+        if len(req.prompt) + req.max_new_tokens > self.max_seq_len:
+            raise ValueError(
+                f"request {req.id}: prompt {len(req.prompt)} + "
+                f"{req.max_new_tokens} exceeds max_seq_len {self.max_seq_len}")
+        self.waiting.append(req)
+
+    def next_admission(self):
+        if not self.waiting or self.active.all():
+            return None
+        slot = int(np.flatnonzero(~self.active)[0])
+        req = self.waiting.pop(0)
+        self.pos[slot] = len(req.prompt)
+        self.active[slot] = True
+        self.slot_req[slot] = req
+        return slot, req
+
+    def admitted(self, slot: int, first_token: int):
+        self.slot_req[slot].generated.append(int(first_token))
+        self._maybe_finish(slot)
+
+    def record_step(self, tokens: np.ndarray):
+        for slot in np.flatnonzero(self.active):
+            self.pos[slot] += 1
+            self.slot_req[int(slot)].generated.append(int(tokens[slot]))
+            self._maybe_finish(int(slot))
+        self.steps += 1
+
+    def _maybe_finish(self, slot: int):
+        req = self.slot_req.get(slot)
+        if req is None:
+            return
+        last = req.generated[-1] if req.generated else None
+        if (len(req.generated) >= req.max_new_tokens
+                or (req.eos_token is not None and last == req.eos_token)
+                or int(self.pos[slot]) >= self.max_seq_len - 1):
+            req.done = True
+            self.finished.append(req)
+            self.active[slot] = False
+            del self.slot_req[slot]
+
+    def active_mask(self) -> np.ndarray:
+        return self.active.copy()
+
+    @property
+    def num_waiting(self) -> int:
+        return len(self.waiting)
+
+    @property
+    def num_active(self) -> int:
+        return int(self.active.sum())
+
+    def drain_finished(self) -> List[Request]:
+        out, self.finished = self.finished, []
+        return out
+
+
+class _NativeBookkeeper:
+    """The same state machine, run by the C++ scheduler. Request objects
+    are materialized back (transcript + done flag) when they finish."""
+
+    def __init__(self, max_slots: int, max_seq_len: int):
+        from qgemm_tpu.serving.native import NativeScheduler
+        self._sched = NativeScheduler(max_slots, max_seq_len)
+        self._by_id: Dict[int, Request] = {}
+
+    def submit(self, req: Request):
+        self._sched.submit(req.id, req.prompt, req.max_new_tokens,
+                           req.eos_token)
+        self._by_id[req.id] = req
+
+    def next_admission(self):
+        adm = self._sched.next_admission()
+        if adm is None:
+            return None
+        slot, rid, _prompt = adm
+        return slot, self._by_id[rid]
+
+    def admitted(self, slot: int, first_token: int):
+        self._sched.admitted(slot, int(first_token))
+
+    def record_step(self, tokens: np.ndarray):
+        self._sched.record_step(tokens)
+
+    def active_mask(self) -> np.ndarray:
+        return self._sched.active_mask()
+
+    @property
+    def num_waiting(self) -> int:
+        return self._sched.num_waiting
+
+    @property
+    def num_active(self) -> int:
+        return self._sched.num_active
+
+    @property
+    def steps(self) -> int:
+        return self._sched.steps
+
+    def drain_finished(self) -> List[Request]:
+        out = []
+        while True:
+            fin = self._sched.pop_finished()
+            if fin is None:
+                return out
+            rid, toks = fin
+            req = self._by_id.pop(rid)
+            req.generated = [int(t) for t in toks]
+            req.done = True
+            out.append(req)
+
+
+class ContinuousBatchingEngine:
+    def __init__(self, model, max_slots: int = 8,
+                 max_seq_len: Optional[int] = None,
+                 scheduler: str = "auto"):
+        """``scheduler``: "python", "native" (C++ csrc/scheduler.cpp), or
+        "auto" (native when the shared library is built)."""
+        self.model = model
+        self.max_slots = max_slots
+        self.max_seq_len = max_seq_len or model.cfg.max_seq_len
+
+        if scheduler == "auto":
+            from qgemm_tpu.serving import native
+            scheduler = "native" if native.available() else "python"
+        book_cls = (_NativeBookkeeper if scheduler == "native"
+                    else _PyBookkeeper)
+        self.book = book_cls(max_slots, self.max_seq_len)
+        self.scheduler = scheduler
+
+        self.caches = model.init_cache(max_slots, self.max_seq_len)
+        self.positions = jnp.zeros((max_slots,), jnp.int32)
+        self.cur_tokens = jnp.zeros((max_slots, 1), jnp.int32)
+        self.finished: List[Request] = []
 
         self._decode = jax.jit(self._decode_impl)
         self._prefill = jax.jit(self._prefill_impl, static_argnames=("plen",))
@@ -90,17 +225,15 @@ class ContinuousBatchingEngine:
 
     # ---------------------------------------------------------------- admin
     def submit(self, req: Request):
-        self.waiting.append(req)
+        self.book.submit(req)
 
     def _admit(self):
-        while self.waiting and not self.active.all():
-            slot = int(np.flatnonzero(~self.active)[0])
-            req = self.waiting.pop(0)
+        while True:
+            adm = self.book.next_admission()
+            if adm is None:
+                return
+            slot, req = adm
             plen = len(req.prompt)
-            if plen + req.max_new_tokens > self.max_seq_len:
-                raise ValueError(
-                    f"request {req.id}: prompt {plen} + {req.max_new_tokens} "
-                    f"exceeds max_seq_len {self.max_seq_len}")
             # bucket prompt length (pow2) to bound recompilation
             bucket = max(8, 1 << (plen - 1).bit_length())
             prompt = jnp.asarray(
@@ -112,42 +245,30 @@ class ContinuousBatchingEngine:
             # position = true prompt length (next write goes there)
             self.positions = self.positions.at[slot].set(plen)
             self.cur_tokens = self.cur_tokens.at[slot, 0].set(first_tok)
-            req.generated.append(int(first_tok))
-            self.active[slot] = True
-            self.slot_req[slot] = req
-            self._maybe_finish(slot)
-
-    def _maybe_finish(self, slot: int):
-        req = self.slot_req.get(slot)
-        if req is None:
-            return
-        last = req.generated[-1] if req.generated else None
-        if (len(req.generated) >= req.max_new_tokens
-                or (req.eos_token is not None and last == req.eos_token)
-                or int(self.positions[slot]) >= self.max_seq_len - 1):
-            req.done = True
-            self.finished.append(req)
-            self.active[slot] = False
-            del self.slot_req[slot]
+            self.book.admitted(slot, int(first_tok))
 
     # ----------------------------------------------------------------- run
+    @property
+    def steps(self) -> int:
+        return self.book.steps
+
     def step(self):
         """Admit waiting requests, run one decode step for all slots."""
         self._admit()
-        if not self.active.any():
+        active = self.book.active_mask()
+        if not active.any():
             return False
         nxt, self.caches = self._decode(self.model, self.cur_tokens,
                                         self.positions, self.caches)
-        self.positions = self.positions + jnp.asarray(self.active, jnp.int32)
+        self.positions = self.positions + jnp.asarray(active, jnp.int32)
         self.cur_tokens = nxt[:, None]
-        nxt_host = np.asarray(nxt)
-        for slot in np.flatnonzero(self.active):
-            self.slot_req[slot].generated.append(int(nxt_host[slot]))
-            self._maybe_finish(int(slot))
-        self.steps += 1
+        self.book.record_step(np.asarray(nxt))
+        self.finished.extend(self.book.drain_finished())
         return True
 
     def run_to_completion(self, max_steps: int = 100000):
-        while (self.waiting or self.active.any()) and self.steps < max_steps:
+        while ((self.book.num_waiting or self.book.num_active)
+               and self.steps < max_steps):
             self.step()
+        self.finished.extend(self.book.drain_finished())
         return self.finished

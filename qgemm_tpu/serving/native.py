@@ -1,0 +1,158 @@
+"""ctypes bindings for the native C++ continuous-batching scheduler
+(csrc/scheduler.cpp).
+
+Build with ``make -C csrc`` (produces qgemm_tpu/serving/libqgemm_sched.so).
+The scheduler owns all host-side serving state — request queue, slot
+free-list, per-slot positions, transcripts, finish rules — behind a C ABI;
+the Python engine only moves tensors. Callers check ``available()`` and
+fall back to the pure-Python bookkeeping when the library isn't built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libqgemm_sched.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    c = ctypes
+    i32, i64, u8 = c.c_int32, c.c_int64, c.c_uint8
+    i32p, i64p, u8p = c.POINTER(i32), c.POINTER(i64), c.POINTER(u8)
+    lib.qg_sched_create.argtypes = [i32, i32]
+    lib.qg_sched_create.restype = c.c_void_p
+    lib.qg_sched_destroy.argtypes = [c.c_void_p]
+    lib.qg_sched_submit.argtypes = [c.c_void_p, i64, i32p, i32, i32, i32]
+    lib.qg_sched_submit.restype = c.c_int
+    lib.qg_sched_next_admission.argtypes = [c.c_void_p, i64p, i32p]
+    lib.qg_sched_next_admission.restype = i32
+    lib.qg_sched_slot_prompt.argtypes = [c.c_void_p, i32, i32p, i32]
+    lib.qg_sched_slot_prompt.restype = i32
+    lib.qg_sched_admitted.argtypes = [c.c_void_p, i32, i32]
+    lib.qg_sched_admitted.restype = c.c_int
+    lib.qg_sched_record_step.argtypes = [c.c_void_p, i32p]
+    lib.qg_sched_record_step.restype = i32
+    lib.qg_sched_active_mask.argtypes = [c.c_void_p, u8p]
+    lib.qg_sched_positions.argtypes = [c.c_void_p, i32p]
+    for name in ("num_waiting", "num_active", "num_finished"):
+        fn = getattr(lib, f"qg_sched_{name}")
+        fn.argtypes = [c.c_void_p]
+        fn.restype = i32
+    lib.qg_sched_steps.argtypes = [c.c_void_p]
+    lib.qg_sched_steps.restype = i64
+    lib.qg_sched_pop_finished.argtypes = [c.c_void_p, i64p, i32p, i32]
+    lib.qg_sched_pop_finished.restype = i32
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _i32arr(a):
+    a = np.ascontiguousarray(a, np.int32)
+    return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+class NativeScheduler:
+    """Thin OO wrapper over the C ABI. Mirrors the Python engine's
+    bookkeeping exactly (tests assert transcript equality between the two
+    backends)."""
+
+    def __init__(self, max_slots: int, max_seq_len: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "libqgemm_sched.so not built — run `make -C csrc`")
+        self._lib = lib
+        self._h = lib.qg_sched_create(max_slots, max_seq_len)
+        if not self._h:
+            raise ValueError("bad scheduler dims")
+        self.max_slots = max_slots
+        self.max_seq_len = max_seq_len
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.qg_sched_destroy(h)
+            self._h = None
+
+    def submit(self, req_id: int, prompt, max_new_tokens: int,
+               eos_token: int | None = None) -> None:
+        arr, ptr = _i32arr(prompt)
+        rc = self._lib.qg_sched_submit(
+            self._h, req_id, ptr, len(arr), max_new_tokens,
+            -1 if eos_token is None else eos_token)
+        if rc != 0:
+            raise ValueError(
+                f"request {req_id}: prompt {len(arr)} + {max_new_tokens} "
+                f"exceeds max_seq_len {self.max_seq_len}")
+
+    def next_admission(self):
+        """-> (slot, req_id, prompt ndarray) or None."""
+        rid = ctypes.c_int64()
+        plen = ctypes.c_int32()
+        slot = self._lib.qg_sched_next_admission(
+            self._h, ctypes.byref(rid), ctypes.byref(plen))
+        if slot < 0:
+            return None
+        out, ptr = _i32arr(np.zeros(plen.value, np.int32))
+        n = self._lib.qg_sched_slot_prompt(self._h, slot, ptr, plen.value)
+        assert n == plen.value
+        return slot, rid.value, out
+
+    def admitted(self, slot: int, first_token: int) -> None:
+        assert self._lib.qg_sched_admitted(self._h, slot, first_token) == 0
+
+    def record_step(self, tokens) -> int:
+        arr, ptr = _i32arr(tokens)
+        assert len(arr) == self.max_slots
+        return self._lib.qg_sched_record_step(self._h, ptr)
+
+    def active_mask(self) -> np.ndarray:
+        out = np.zeros(self.max_slots, np.uint8)
+        self._lib.qg_sched_active_mask(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out.astype(bool)
+
+    def positions(self) -> np.ndarray:
+        out, ptr = _i32arr(np.zeros(self.max_slots, np.int32))
+        self._lib.qg_sched_positions(self._h, ptr)
+        return out
+
+    @property
+    def num_waiting(self) -> int:
+        return self._lib.qg_sched_num_waiting(self._h)
+
+    @property
+    def num_active(self) -> int:
+        return self._lib.qg_sched_num_active(self._h)
+
+    @property
+    def num_finished(self) -> int:
+        return self._lib.qg_sched_num_finished(self._h)
+
+    @property
+    def steps(self) -> int:
+        return self._lib.qg_sched_steps(self._h)
+
+    def pop_finished(self):
+        """-> (req_id, generated ndarray) or None."""
+        rid = ctypes.c_int64()
+        out, ptr = _i32arr(np.zeros(self.max_seq_len, np.int32))
+        n = self._lib.qg_sched_pop_finished(self._h, ctypes.byref(rid), ptr,
+                                            self.max_seq_len)
+        if n < 0:
+            return None
+        return rid.value, out[:n]

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Serving decode throughput: tokens/s for a GPT decoder, bf16 vs int8.
+
+Measures the in-jit KV-cached decode loop (model.generate's lax.scan) at two
+generation lengths and differences them, so prefill cost, dispatch overhead
+and tunnel RTT cancel — the same marginal-cost protocol as
+utils/profiling.bench_ms. The engine's host-side step() loop is NOT what is
+timed here: through the remote-TPU tunnel every host step pays ~30 ms RTT,
+which measures the tunnel, not the TPU.
+
+Usage: python scripts/bench_serving.py [--layers N] [--d-model D] [--batch B]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def time_generate(model, prompt, n, repeats=3):
+    f = jax.jit(lambda m, p: m.generate(p, n).sum())
+    float(f(model, prompt))  # compile
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(f(model, prompt))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=24)
+    ap.add_argument("--d-model", type=int, default=2048)
+    ap.add_argument("--d-ff", type=int, default=8192)
+    ap.add_argument("--heads", type=int, default=16)
+    ap.add_argument("--vocab", type=int, default=50272)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--prompt-len", type=int, default=32)
+    ap.add_argument("--n-hi", type=int, default=128)
+    ap.add_argument("--n-lo", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+
+    cfg = GPTConfig(vocab_size=args.vocab, d_model=args.d_model,
+                    n_heads=args.heads, d_ff=args.d_ff, n_layers=args.layers,
+                    max_seq_len=args.prompt_len + args.n_hi + 8,
+                    dtype="bfloat16")
+    model = GPT.init(cfg, key=jax.random.PRNGKey(args.seed))
+    n_params = model.num_params()
+    log(f"model: {n_params/1e9:.2f}B params, {args.layers}L x "
+        f"d{args.d_model}, batch {args.batch}")
+
+    prompt = jax.random.randint(jax.random.PRNGKey(1),
+                                (args.batch, args.prompt_len), 0, args.vocab)
+
+    results = {}
+    for name, m in (("bf16", model), ("int8", model.quantize())):
+        t_hi = time_generate(m, prompt, args.n_hi)
+        t_lo = time_generate(m, prompt, args.n_lo)
+        per_tok = (t_hi - t_lo) / (args.n_hi - args.n_lo)
+        tps = args.batch / per_tok
+        results[name] = tps
+        log(f"{name}: {per_tok*1e3:.3f} ms/step -> {tps:,.0f} tokens/s "
+            f"(batch {args.batch})")
+
+    print(json.dumps({
+        "metric": "gpt_decode_tokens_per_sec_int8",
+        "value": round(results["int8"], 1),
+        "unit": "tokens/s",
+        "params_b": round(n_params / 1e9, 2),
+        "batch": args.batch,
+        "int8_vs_bf16": round(results["int8"] / results["bf16"], 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
