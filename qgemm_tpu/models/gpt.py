@@ -110,6 +110,32 @@ class GPT:
         return replace(self, blocks=[b.quantize(**qkw) for b in self.blocks],
                        lm_head=self.lm_head.quantize(**qkw))
 
+    @classmethod
+    def init_quantized(cls, cfg: GPTConfig, key: Optional[jax.Array] = None,
+                       **qkw) -> "GPT":
+        """Initialize directly into int8: each block is built, quantized and
+        its float weights freed before the next is built, so peak HBM is the
+        int8 model + ONE float block — required to stand up a 6.7B-class
+        model on a 16 GB chip (float init would need ~13.4 GB bf16 + 6.7 GB
+        int8 simultaneously)."""
+        keys = iter(jax.random.split(key if key is not None
+                                     else jax.random.PRNGKey(0),
+                                     cfg.n_layers + 2))
+        d = cfg.jdtype
+        embed = Embedding.init(next(keys), cfg.vocab_size, cfg.d_model,
+                               cfg.max_seq_len, d)
+        blocks = []
+        for _ in range(cfg.n_layers):
+            blk = GPTBlock.init(next(keys), cfg)
+            qblk = blk.quantize(**qkw)
+            jax.block_until_ready(jax.tree_util.tree_leaves(qblk))
+            del blk  # drop the float block's device buffers now
+            blocks.append(qblk)
+        lm_head = Linear.init(next(keys), cfg.d_model, cfg.vocab_size,
+                              bias=False, dtype=d).quantize(**qkw)
+        return cls(embed=embed, blocks=blocks, ln_f=LayerNorm.init(
+            cfg.d_model, d), lm_head=lm_head, cfg=cfg)
+
     def num_params(self) -> int:
         return sum(int(l.size) for l in jax.tree_util.tree_leaves(self)
                    if hasattr(l, "size"))

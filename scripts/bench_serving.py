@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--n-hi", type=int, default=128)
     ap.add_argument("--n-lo", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--int8-only", action="store_true",
+                    help="skip the bf16 run and init straight into int8 "
+                         "(layer-by-layer; for models whose float weights "
+                         "don't fit HBM, e.g. 6.7B-class on 16 GB)")
     args = ap.parse_args()
 
     from qgemm_tpu.models.gpt import GPT, GPTConfig
@@ -55,8 +59,14 @@ def main():
                     n_heads=args.heads, d_ff=args.d_ff, n_layers=args.layers,
                     max_seq_len=args.prompt_len + args.n_hi + 8,
                     dtype="bfloat16")
-    model = GPT.init(cfg, key=jax.random.PRNGKey(args.seed))
-    n_params = model.num_params()
+    if args.int8_only:
+        runs = [("int8", GPT.init_quantized(cfg,
+                                            key=jax.random.PRNGKey(args.seed)))]
+        n_params = runs[0][1].num_params()
+    else:
+        model = GPT.init(cfg, key=jax.random.PRNGKey(args.seed))
+        n_params = model.num_params()
+        runs = [("bf16", model), ("int8", model.quantize())]
     log(f"model: {n_params/1e9:.2f}B params, {args.layers}L x "
         f"d{args.d_model}, batch {args.batch}")
 
@@ -64,7 +74,7 @@ def main():
                                 (args.batch, args.prompt_len), 0, args.vocab)
 
     results = {}
-    for name, m in (("bf16", model), ("int8", model.quantize())):
+    for name, m in runs:
         t_hi = time_generate(m, prompt, args.n_hi)
         t_lo = time_generate(m, prompt, args.n_lo)
         per_tok = (t_hi - t_lo) / (args.n_hi - args.n_lo)
@@ -73,14 +83,16 @@ def main():
         log(f"{name}: {per_tok*1e3:.3f} ms/step -> {tps:,.0f} tokens/s "
             f"(batch {args.batch})")
 
-    print(json.dumps({
+    out = {
         "metric": "gpt_decode_tokens_per_sec_int8",
         "value": round(results["int8"], 1),
         "unit": "tokens/s",
         "params_b": round(n_params / 1e9, 2),
         "batch": args.batch,
-        "int8_vs_bf16": round(results["int8"] / results["bf16"], 3),
-    }))
+    }
+    if "bf16" in results:
+        out["int8_vs_bf16"] = round(results["int8"] / results["bf16"], 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -103,3 +103,15 @@ def test_quantized_gpt_runs():
     model = _model(seed=6).quantize()
     out = jax.jit(lambda m, p: m.generate(p, 3))(model, jnp.asarray([[1, 2]]))
     assert out.shape == (1, 3)
+
+
+def test_init_quantized_matches_quantize():
+    """Layer-by-layer int8 init (HBM-bounded path for 6.7B-class models)
+    produces the same parameters as float init + quantize."""
+    a = GPT.init_quantized(CFG, key=jax.random.PRNGKey(7))
+    b = GPT.init(CFG, key=jax.random.PRNGKey(7)).quantize()
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
