@@ -149,23 +149,36 @@ class MultiHeadAttention:
             v = self._split(self.wqkv_v(x_kv))
 
         if kv_cache is not None:
-            k_cache, v_cache = kv_cache
-            s_max = k_cache.shape[2]
+            from qgemm_tpu.ops.kv_cache import (QuantizedKVCache,
+                                                dequantize_kv, quantize_kv)
             per_slot = getattr(cache_index, "ndim", 0) == 1  # [B] positions
             if per_slot:
                 # continuous batching: each batch slot writes at its own
                 # position (vmapped one-element dynamic update, in-place)
-                upd = jax.vmap(lambda c, n, i:
-                               jax.lax.dynamic_update_slice_in_dim(c, n, i, axis=1))
-                k_cache = upd(k_cache, k, cache_index)
-                v_cache = upd(v_cache, v, cache_index)
+                upd = lambda c, n: jax.vmap(
+                    lambda ci, ni, i: jax.lax.dynamic_update_slice_in_dim(
+                        ci, ni, i, axis=1))(c, n, cache_index)
                 idx = cache_index[:, None, None, None]
             else:
-                k_cache = jax.lax.dynamic_update_slice_in_dim(
-                    k_cache, k, cache_index, axis=2)
-                v_cache = jax.lax.dynamic_update_slice_in_dim(
-                    v_cache, v, cache_index, axis=2)
+                upd = lambda c, n: jax.lax.dynamic_update_slice_in_dim(
+                    c, n, cache_index, axis=2)
                 idx = cache_index
+            if isinstance(kv_cache, QuantizedKVCache):
+                # int8 cache: quantize the new rows on write, dequantize on
+                # read (XLA fuses the scale multiply into the attention
+                # matmuls, so HBM traffic stays int8)
+                kq, kc = quantize_kv(k)
+                vq, vc = quantize_kv(v)
+                new_cache = QuantizedKVCache(
+                    kq=upd(kv_cache.kq, kq), kc=upd(kv_cache.kc, kc),
+                    vq=upd(kv_cache.vq, vq), vc=upd(kv_cache.vc, vc))
+                k_cache = dequantize_kv(new_cache.kq, new_cache.kc, q.dtype)
+                v_cache = dequantize_kv(new_cache.vq, new_cache.vc, q.dtype)
+            else:
+                k_cache = upd(kv_cache[0], k)
+                v_cache = upd(kv_cache[1], v)
+                new_cache = (k_cache, v_cache)
+            s_max = k_cache.shape[2]
             kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, q.shape[2], s_max), 3)
             valid = kj < (idx + k.shape[2])
             if causal:
@@ -174,7 +187,7 @@ class MultiHeadAttention:
                 valid = jnp.logical_and(valid, kj <= qi)
             out = scaled_dot_product_attention(q, k_cache, v_cache, mask=valid)
             out = self.w_o(self._merge(out))
-            return out, (k_cache, v_cache)
+            return out, new_cache
 
         out = _dispatch_attention(q, k, v, causal=causal)
         return self.w_o(self._merge(out))

@@ -151,10 +151,18 @@ class GPT:
     __call__ = forward
 
     # ------------------------------------------------------------- decoding
-    def init_cache(self, batch: int, max_len: Optional[int] = None):
+    def init_cache(self, batch: int, max_len: Optional[int] = None,
+                   quantized: bool = False):
+        """``quantized=True``: int8 KV cache (absmax per-position vectors,
+        ops/kv_cache.py) — halves cache HBM footprint and decode read
+        bandwidth; beyond-reference capability (SURVEY.md §2 C12)."""
         cfg = self.cfg
         s = max_len or cfg.max_seq_len
         dh = cfg.d_model // cfg.n_heads
+        if quantized:
+            from qgemm_tpu.ops.kv_cache import init_quantized_kv_cache
+            return [init_quantized_kv_cache(batch, cfg.n_heads, s, dh)
+                    for _ in self.blocks]
         z = lambda: jnp.zeros((batch, cfg.n_heads, s, dh), cfg.jdtype)
         return [(z(), z()) for _ in self.blocks]
 
@@ -185,11 +193,13 @@ class GPT:
             new_caches.append(cache)
         return self.lm_head(self.ln_f(x)), new_caches
 
-    def generate(self, prompt, max_new_tokens: int):
+    def generate(self, prompt, max_new_tokens: int,
+                 quantized_cache: bool = False):
         """Greedy LM generation: prefill the prompt, then scan decode steps.
         prompt [B, S_p] -> [B, max_new_tokens]."""
         b, s_p = prompt.shape
-        caches = self.init_cache(b, s_p + max_new_tokens)
+        caches = self.init_cache(b, s_p + max_new_tokens,
+                                 quantized=quantized_cache)
         logits, caches = self.prefill(prompt, caches)
         tok0 = jnp.argmax(logits[:, -1, :], axis=-1)[:, None]
 

@@ -46,32 +46,46 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)            # [BQ, D]
-    k = k_ref[0].astype(jnp.float32)            # [BK, D]
-    v = v_ref[0].astype(jnp.float32)            # [BK, Dv]
+    def _block():
+        # dot in the INPUT dtype (bf16 runs the MXU at full rate; an f32
+        # upcast here would quarter it), accumulate f32.
+        q = q_ref[0]                                 # [BQ, D]
+        k = k_ref[0]                                 # [BK, D]
+        v = v_ref[0]                                 # [BK, Dv]
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale  # [BQ,BK]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
 
-    qi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * bq
-    kj = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kk * bk
-    mask = kj < sk_valid
+        qi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * bq
+        kj = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kk * bk
+        mask = kj < sk_valid
+        if causal:
+            mask = jnp.logical_and(mask, kj <= qi)
+        s = jnp.where(mask, s, _NEG_INF)
+
+        m_prev = m_scr[:]                            # [BQ, 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        # guard fully-masked rows (all -inf): keep exp argument finite
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[:] = m_new
+        # P in the V dtype for the second matmul (f32 P would quarter the
+        # MXU rate); P in [0,1] and f32->bf16 rounding is ~1e-3 relative —
+        # the same tradeoff every production flash kernel makes.
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
     if causal:
-        mask = jnp.logical_and(mask, kj <= qi)
-    s = jnp.where(mask, s, _NEG_INF)
-
-    m_prev = m_scr[:]                            # [BQ, 1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    # guard fully-masked rows (all -inf): keep exp argument finite
-    p = jnp.exp(s - m_new)
-    p = jnp.where(mask, p, 0.0)
-    alpha = jnp.exp(m_prev - m_new)
-
-    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    m_scr[:] = m_new
-    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        # a K block strictly above this Q block's last row contributes
+        # nothing — skip its matmuls/softmax entirely (~2x for long seqs)
+        pl.when(kk * bk <= iq * bq + bq - 1)(_block)
+    else:
+        _block()
 
     @pl.when(kk == n_k - 1)
     def _finish():

@@ -171,12 +171,15 @@ class _NativeBookkeeper:
 class ContinuousBatchingEngine:
     def __init__(self, model, max_slots: int = 8,
                  max_seq_len: Optional[int] = None,
-                 scheduler: str = "auto"):
+                 scheduler: str = "auto", quantized_cache: bool = False):
         """``scheduler``: "python", "native" (C++ csrc/scheduler.cpp), or
-        "auto" (native when the shared library is built)."""
+        "auto" (native when the shared library is built).
+        ``quantized_cache``: int8 KV cache (ops/kv_cache.py) — halves the
+        cache's HBM footprint, so 2x the slots or context per chip."""
         self.model = model
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len or model.cfg.max_seq_len
+        self.quantized_cache = quantized_cache
 
         if scheduler == "auto":
             from qgemm_tpu.serving import native
@@ -186,7 +189,8 @@ class ContinuousBatchingEngine:
         self.book = book_cls(max_slots, self.max_seq_len)
         self.scheduler = scheduler
 
-        self.caches = model.init_cache(max_slots, self.max_seq_len)
+        self.caches = model.init_cache(max_slots, self.max_seq_len,
+                                       quantized=quantized_cache)
         self.positions = jnp.zeros((max_slots,), jnp.int32)
         self.cur_tokens = jnp.zeros((max_slots, 1), jnp.int32)
         self.finished: List[Request] = []
@@ -208,17 +212,20 @@ class ContinuousBatchingEngine:
         static bucket length (one compile per bucket); ``plen_true`` is the
         traced true prompt length (junk K/V beyond it is never attended —
         decode masks strictly by per-slot position)."""
-        tmp_caches = model.init_cache(1, plen)
+        tmp_caches = model.init_cache(1, plen,
+                                      quantized=self.quantized_cache)
         logits, tmp_caches = model.prefill(prompt, tmp_caches)
-        new_caches = []
         sel = slot_onehot[:, None, None, None]  # [slots,1,1,1]
-        for (k_c, v_c), (k_t, v_t) in zip(caches, tmp_caches):
-            k_pad = jnp.pad(k_t, ((0, 0), (0, 0),
-                                  (0, k_c.shape[2] - plen), (0, 0)))
-            v_pad = jnp.pad(v_t, ((0, 0), (0, 0),
-                                  (0, v_c.shape[2] - plen), (0, 0)))
-            new_caches.append((jnp.where(sel, k_pad, k_c),
-                               jnp.where(sel, v_pad, v_c)))
+
+        def scatter(c_full, c_tmp):
+            # every cache leaf (K/V values or scales, float or int8) is
+            # [B, H, S, *] with positions on axis 2
+            pad = jnp.pad(c_tmp, ((0, 0), (0, 0),
+                                  (0, c_full.shape[2] - plen), (0, 0)))
+            return jnp.where(sel, pad, c_full)
+
+        new_caches = [jax.tree.map(scatter, c, t)
+                      for c, t in zip(caches, tmp_caches)]
         last_logits = jnp.take(logits[0], plen_true - 1, axis=0)
         first_tok = jnp.argmax(last_logits).astype(jnp.int32)
         return first_tok, new_caches

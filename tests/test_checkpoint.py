@@ -46,3 +46,18 @@ def test_shape_mismatch_rejected(tmp_path):
                           n_layers=2, max_seq_len=32)
     with pytest.raises((ValueError, KeyError)):
         load_checkpoint(p, GPT.init(other_cfg, key=jax.random.PRNGKey(0)))
+
+
+def test_quantized_gpt_roundtrip(tmp_path):
+    """int8 serving artifacts (QuantizedWeight q+c leaves) round-trip
+    bit-exactly through the npz checkpoint."""
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    cfg = GPTConfig(vocab_size=67, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=2, max_seq_len=32)
+    m = GPT.init(cfg, key=jax.random.PRNGKey(1)).quantize()
+    p = str(tmp_path / "gpt_int8.npz")
+    save_checkpoint(p, m)
+    m2 = load_checkpoint(p, m)
+    for a, b in zip(jax.tree_util.tree_leaves(m),
+                    jax.tree_util.tree_leaves(m2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
