@@ -32,6 +32,10 @@ class GPTConfig:
     n_layers: int = 6
     max_seq_len: int = 1024
     dtype: str = "float32"
+    # n_experts > 0 replaces each block's dense FFN with a top-k routed
+    # MoE (models/moe.py) — the expert-parallel model family
+    n_experts: int = 0
+    moe_top_k: int = 2
 
     @property
     def jdtype(self):
@@ -56,9 +60,16 @@ class GPTBlock:
     def init(cls, key, cfg: GPTConfig) -> "GPTBlock":
         k1, k2 = jax.random.split(key)
         d = cfg.jdtype
+        if cfg.n_experts > 0:
+            from qgemm_tpu.models.moe import MoEFeedForward
+            ffn = MoEFeedForward.init(k2, cfg.d_model, cfg.d_ff,
+                                      cfg.n_experts, top_k=cfg.moe_top_k,
+                                      dtype=d)
+        else:
+            ffn = FeedForward.init(k2, cfg.d_model, cfg.d_ff, dtype=d)
         return cls(attn=MultiHeadAttention.init(k1, cfg.d_model, cfg.n_heads,
                                                 dtype=d),
-                   ffn=FeedForward.init(k2, cfg.d_model, cfg.d_ff, dtype=d),
+                   ffn=ffn,
                    ln1=LayerNorm.init(cfg.d_model, d),
                    ln2=LayerNorm.init(cfg.d_model, d))
 

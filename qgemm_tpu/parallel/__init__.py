@@ -1,3 +1,7 @@
+from qgemm_tpu.parallel.expert import (  # noqa: F401
+    ep_moe_forward,
+    shard_moe,
+)
 from qgemm_tpu.parallel.mesh import make_mesh  # noqa: F401
 from qgemm_tpu.parallel.pipeline import (  # noqa: F401
     pipeline_apply,

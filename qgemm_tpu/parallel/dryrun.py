@@ -107,3 +107,28 @@ def run_dryrun(n_devices: int) -> None:
                                                   causal=True))(q, kk_, vv)
     jax.block_until_ready(attn)
     assert bool(jnp.all(jnp.isfinite(attn))), "non-finite ring attention"
+
+    # --- expert parallelism: MoE GPT, experts sharded over an `expert` axis
+    from qgemm_tpu.models.moe import MoEFeedForward
+    from qgemm_tpu.parallel.expert import ep_moe_forward
+
+    ep_mesh = make_mesh((n_devices,), ("expert",))
+    moe = MoEFeedForward.init(jax.random.PRNGKey(4), 16, 32,
+                              n_experts=2 * n_devices, top_k=2)
+    xm = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 16), jnp.float32)
+    # training step through the EP forward (grads flow through the psum)
+    @jax.jit
+    def ep_train_step(moe, xm):
+        def loss_fn(moe):
+            out = ep_moe_forward(xm, moe, ep_mesh)
+            return jnp.mean(out * out)
+        loss, grads = jax.value_and_grad(loss_fn)(moe)
+        return sgd_step(moe, grads, 0.01), loss
+
+    moe, eloss = ep_train_step(moe, xm)
+    jax.block_until_ready(eloss)
+    assert bool(jnp.isfinite(eloss)), f"non-finite EP loss {eloss}"
+    # int8 expert serving path under the same mesh
+    eq = ep_moe_forward(xm, moe.quantize(), ep_mesh)
+    jax.block_until_ready(eq)
+    assert bool(jnp.all(jnp.isfinite(eq))), "non-finite int8 EP output"

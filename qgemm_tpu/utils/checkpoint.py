@@ -31,6 +31,11 @@ def _path_key(path) -> str:
     return "/".join(parts)
 
 
+# npz can only round-trip native numpy dtypes; extension dtypes (bfloat16,
+# float8_*) come back as raw void — store their bits + a dtype tag instead
+_DTYPE_TAG = ".__dtype__"
+
+
 def save_checkpoint(path: str, tree) -> None:
     """Serialize every array leaf of ``tree`` into one .npz keyed by its
     pytree path. Atomic (tmp + rename)."""
@@ -39,7 +44,11 @@ def save_checkpoint(path: str, tree) -> None:
     for p, leaf in flat:
         key = _path_key(p)
         assert key not in arrays, f"duplicate path {key}"
-        arrays[key] = np.asarray(jax.device_get(leaf))
+        arr = np.asarray(jax.device_get(leaf))
+        if arr.dtype.kind == "V":  # extension dtype (e.g. bfloat16)
+            arrays[key + _DTYPE_TAG] = np.array(str(arr.dtype))
+            arr = arr.view(np.dtype(f"u{arr.dtype.itemsize}"))
+        arrays[key] = arr
     tmp = path + ".tmp"
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(tmp, "wb") as f:
@@ -58,12 +67,16 @@ def load_checkpoint(path: str, template):
             if key not in data:
                 raise KeyError(f"checkpoint {path} missing leaf {key}")
             arr = data[key]
+            if key + _DTYPE_TAG in data:
+                arr = arr.view(np.dtype(str(data[key + _DTYPE_TAG])))
             want_shape = getattr(leaf, "shape", None)
             if want_shape is not None and tuple(arr.shape) != tuple(want_shape):
                 raise ValueError(
                     f"{key}: checkpoint shape {arr.shape} != model {want_shape}")
             leaves.append(jax.numpy.asarray(arr))
-        extra = set(data.files) - {_path_key(p) for p, _ in flat}
+        keys = {_path_key(p) for p, _ in flat}
+        extra = {f for f in set(data.files) - keys
+                 if not (f.endswith(_DTYPE_TAG) and f[:-len(_DTYPE_TAG)] in keys)}
         if extra:
             raise ValueError(f"checkpoint has extra leaves: {sorted(extra)[:5]}")
     return jax.tree_util.tree_unflatten(

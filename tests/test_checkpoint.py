@@ -61,3 +61,20 @@ def test_quantized_gpt_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(m),
                     jax.tree_util.tree_leaves(m2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bfloat16_roundtrip(tmp_path):
+    """Extension dtypes (bfloat16) survive the npz round-trip via the
+    bits+tag encoding (npz alone degrades them to raw void)."""
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    cfg = GPTConfig(vocab_size=67, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=1, max_seq_len=32, dtype="bfloat16",
+                    n_experts=2)
+    m = GPT.init(cfg, key=jax.random.PRNGKey(2)).quantize()
+    p = str(tmp_path / "bf16.npz")
+    save_checkpoint(p, m)
+    m2 = load_checkpoint(p, m)
+    for a, b in zip(jax.tree_util.tree_leaves(m),
+                    jax.tree_util.tree_leaves(m2)):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

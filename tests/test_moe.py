@@ -1,0 +1,146 @@
+"""MoE feed-forward + expert parallelism (models/moe.py, parallel/expert.py).
+
+Greenfield capability — no reference counterpart (SURVEY.md §2: the
+reference has no parallelism and no MoE); verified against a per-token
+numpy oracle and, for EP, against the single-device dense result.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qgemm_tpu.models.moe import (MoEFeedForward, expert_ffn,
+                                  quantize_expert_weights, route)
+from qgemm_tpu.parallel.expert import ep_moe_forward, shard_moe
+from qgemm_tpu.parallel.mesh import make_mesh
+
+
+def _oracle(x, moe):
+    """Per-token numpy loop: top-k experts, renormalized gates, no capacity
+    limit (tests use generous capacity so nothing drops)."""
+    xf = np.asarray(x, np.float64).reshape(-1, x.shape[-1])
+    rw = np.asarray(moe.router_w, np.float64)
+    up = np.asarray(moe.w_up, np.float64)
+    dn = np.asarray(moe.w_down, np.float64)
+    logits = xf @ rw
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    out = np.zeros_like(xf)
+    for t in range(xf.shape[0]):
+        top = np.argsort(-p[t])[:moe.top_k]
+        gates = p[t][top] / p[t][top].sum()
+        for g, e in zip(gates, top):
+            h = np.maximum(xf[t] @ up[e], 0.0)
+            out[t] += g * (h @ dn[e])
+    return out.reshape(x.shape)
+
+
+def test_moe_matches_oracle_top1():
+    moe = MoEFeedForward.init(jax.random.PRNGKey(0), 16, 32, n_experts=4,
+                              top_k=1, capacity_factor=8.0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 10, 16))
+    np.testing.assert_allclose(np.asarray(moe(x)), _oracle(x, moe),
+                               rtol=0, atol=1e-4)
+
+
+def test_moe_matches_oracle_top2():
+    moe = MoEFeedForward.init(jax.random.PRNGKey(2), 16, 32, n_experts=4,
+                              top_k=2, capacity_factor=8.0)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 12, 16))
+    np.testing.assert_allclose(np.asarray(moe(x)), _oracle(x, moe),
+                               rtol=0, atol=1e-4)
+
+
+def test_capacity_drops_overflow_tokens():
+    """With capacity 8 (the floor) and 64 tokens on 1 expert, only the first
+    8 tokens get expert output; the rest are zeros (residual carries them)."""
+    moe = MoEFeedForward.init(jax.random.PRNGKey(4), 8, 16, n_experts=1,
+                              top_k=1, capacity_factor=0.01)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 64, 8))
+    out = np.asarray(moe(x))
+    assert np.abs(out[0, :8]).max() > 0
+    assert np.abs(out[0, 8:]).max() == 0
+
+
+def test_quantized_moe_close_to_float():
+    moe = MoEFeedForward.init(jax.random.PRNGKey(6), 32, 64, n_experts=4,
+                              top_k=2, capacity_factor=4.0)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 16, 32))
+    ref = np.asarray(moe(x))
+    qout = np.asarray(moe.quantize()(x))
+    scale = np.abs(ref).max()
+    assert np.abs(qout - ref).max() / scale < 0.05
+
+
+def test_ep_matches_dense():
+    """Expert-parallel shard_map forward == single-device dense forward."""
+    mesh = make_mesh((8,), ("expert",))
+    moe = MoEFeedForward.init(jax.random.PRNGKey(8), 16, 32, n_experts=8,
+                              top_k=2, capacity_factor=4.0)
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 8, 16))
+    dense = np.asarray(moe(x))
+    ep = np.asarray(jax.jit(
+        lambda x: ep_moe_forward(x, moe, mesh))(x))
+    np.testing.assert_allclose(ep, dense, rtol=0, atol=1e-5)
+
+
+def test_ep_quantized_matches_dense_quantized():
+    mesh = make_mesh((8,), ("expert",))
+    moe = MoEFeedForward.init(jax.random.PRNGKey(10), 16, 32, n_experts=8,
+                              top_k=1, capacity_factor=4.0).quantize()
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 8, 16))
+    dense = np.asarray(moe(x))
+    ep = np.asarray(ep_moe_forward(x, moe, mesh))
+    np.testing.assert_allclose(ep, dense, rtol=0, atol=1e-5)
+
+
+def test_gspmd_sharded_moe_runs():
+    """GSPMD path: expert tensors sharded on E, XLA partitions the einsums."""
+    mesh = make_mesh((8,), ("expert",))
+    moe = MoEFeedForward.init(jax.random.PRNGKey(12), 16, 32, n_experts=8,
+                              top_k=2, capacity_factor=4.0)
+    dense = None
+    x = jax.random.normal(jax.random.PRNGKey(13), (2, 8, 16))
+    dense = np.asarray(moe(x))
+    smoe = shard_moe(moe, mesh)
+    out = np.asarray(jax.jit(lambda m, x: m(x))(smoe, x))
+    np.testing.assert_allclose(out, dense, rtol=0, atol=1e-5)
+
+
+def test_moe_gpt_family():
+    """GPTConfig(n_experts=...) swaps every block's FFN for the MoE and the
+    whole serving path (forward / quantize / generate) still works."""
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    cfg = GPTConfig(vocab_size=67, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=2, max_seq_len=32, n_experts=4, moe_top_k=2)
+    m = GPT.init(cfg, key=jax.random.PRNGKey(14))
+    from qgemm_tpu.models.moe import MoEFeedForward as M
+    assert all(isinstance(b.ffn, M) for b in m.blocks)
+    toks = jax.random.randint(jax.random.PRNGKey(15), (2, 6), 0, 67)
+    logits = m(toks)
+    assert logits.shape == (2, 6, 67)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+    out = m.quantize().generate(toks, 4)
+    assert out.shape == (2, 4)
+
+
+def test_moe_gpt_trains():
+    """Gradients flow through routing (via the combine gates) and experts."""
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    from qgemm_tpu.models.optim import sgd_step
+    from qgemm_tpu.ops.cross_entropy import cross_entropy_loss
+    cfg = GPTConfig(vocab_size=67, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=1, max_seq_len=32, n_experts=4)
+    m = GPT.init(cfg, key=jax.random.PRNGKey(16))
+    toks = jax.random.randint(jax.random.PRNGKey(17), (2, 8), 0, 67)
+
+    def loss_fn(m):
+        lg = m(toks[:, :-1])
+        return cross_entropy_loss(lg.reshape(-1, 67), toks[:, 1:].reshape(-1))
+
+    l0, grads = jax.value_and_grad(loss_fn)(m)
+    g_router = grads.blocks[0].ffn.router_w
+    assert float(jnp.abs(g_router).max()) > 0  # router learns
+    m2 = sgd_step(m, grads, 0.1)
+    l1 = loss_fn(m2)
+    assert float(l1) < float(l0)
