@@ -149,8 +149,7 @@ class MultiHeadAttention:
             v = self._split(self.wqkv_v(x_kv))
 
         if kv_cache is not None:
-            from qgemm_tpu.ops.kv_cache import (QuantizedKVCache,
-                                                dequantize_kv, quantize_kv)
+            from qgemm_tpu.ops.kv_cache import QuantizedKVCache, quantize_kv
             per_slot = getattr(cache_index, "ndim", 0) == 1  # [B] positions
             if per_slot:
                 # continuous batching: each batch slot writes at its own
@@ -163,17 +162,20 @@ class MultiHeadAttention:
                 upd = lambda c, n: jax.lax.dynamic_update_slice_in_dim(
                     c, n, cache_index, axis=2)
                 idx = cache_index
-            if isinstance(kv_cache, QuantizedKVCache):
-                # int8 cache: quantize the new rows on write, dequantize on
-                # read (XLA fuses the scale multiply into the attention
-                # matmuls, so HBM traffic stays int8)
+            quantized = isinstance(kv_cache, QuantizedKVCache)
+            if quantized:
+                # int8 cache: quantize the new rows on write; on read the
+                # absmax scales are factored OUT of the matmuls —
+                # q.(kq*kc) == (q.kq)*kc and p@(vq*vc) == (p*vc)@vq — so the
+                # dequantized bf16 cache is never materialized in HBM (XLA
+                # would otherwise write it back every step, doubling decode
+                # cache traffic instead of halving it)
                 kq, kc = quantize_kv(k)
                 vq, vc = quantize_kv(v)
                 new_cache = QuantizedKVCache(
                     kq=upd(kv_cache.kq, kq), kc=upd(kv_cache.kc, kc),
                     vq=upd(kv_cache.vq, vq), vc=upd(kv_cache.vc, vc))
-                k_cache = dequantize_kv(new_cache.kq, new_cache.kc, q.dtype)
-                v_cache = dequantize_kv(new_cache.vq, new_cache.vc, q.dtype)
+                k_cache, v_cache = new_cache.kq, new_cache.vq
             else:
                 k_cache = upd(kv_cache[0], k)
                 v_cache = upd(kv_cache[1], v)
@@ -185,7 +187,27 @@ class MultiHeadAttention:
                 qi = jax.lax.broadcasted_iota(
                     jnp.int32, (1, 1, q.shape[2], s_max), 2) + idx
                 valid = jnp.logical_and(valid, kj <= qi)
-            out = scaled_dot_product_attention(q, k_cache, v_cache, mask=valid)
+            if quantized:
+                from qgemm_tpu.ops.kv_cache import QRANGE
+                d = q.shape[-1]
+                # dots in bf16: the int8->bf16 convert fuses into the dot so
+                # HBM reads stay int8 (measured 2x: 0.098 vs 0.187 ms for an
+                # 8x16x2048x128 cache read; an f32 upcast — or even
+                # preferred_element_type=f32 — breaks the fusion and
+                # materializes the converted cache)
+                cd = jnp.bfloat16
+                s = jnp.einsum("...qd,...kd->...qk", q.astype(cd),
+                               k_cache.astype(cd)).astype(jnp.float32)
+                # per-position K scale: [B,H,S,1] -> [B,H,1,S]
+                s = s * (new_cache.kc[..., 0] / (QRANGE * d ** 0.5))[:, :, None, :]
+                s = jnp.where(valid, s, -1e30)
+                p = softmax(s, axis=-1)
+                p = p * (new_cache.vc[..., 0] * (1.0 / QRANGE))[:, :, None, :]
+                out = jnp.einsum("...qk,...kv->...qv", p.astype(cd),
+                                 v_cache.astype(cd)).astype(q.dtype)
+            else:
+                out = scaled_dot_product_attention(q, k_cache, v_cache,
+                                                   mask=valid)
             out = self.w_o(self._merge(out))
             return out, new_cache
 

@@ -43,11 +43,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# Mosaic's default 16 MB scoped-VMEM budget is shared with whatever XLA
+# fusions surround the kernel in the jitted program, so the same tiles can
+# compile standalone and fail inside a model step. 32 MB (swept against 48,
+# 64, 100 on v5e) gives every serving shape headroom to compile AND measures
+# fastest — 100 MB regresses 2048^3 f32 from 386 to 184 TF/s (a too-large
+# budget relaxes the scheduler's pipelining pressure).
+_VMEM_LIMIT = 32 * 1024 * 1024
+
+
 def _compiler_params(dimension_semantics):
     try:
-        return pltpu.CompilerParams(dimension_semantics=dimension_semantics)
+        return pltpu.CompilerParams(dimension_semantics=dimension_semantics,
+                                    vmem_limit_bytes=_VMEM_LIMIT)
     except TypeError:  # older API name
-        return pltpu.TPUCompilerParams(dimension_semantics=dimension_semantics)
+        return pltpu.TPUCompilerParams(dimension_semantics=dimension_semantics,
+                                       vmem_limit_bytes=_VMEM_LIMIT)
 
 
 # ---------------------------------------------------------------------------
@@ -120,8 +131,12 @@ def _qmm_kernel(x_ref, wq_ref, cx_ref, cw_ref, o_ref, acc_ref, *, rounding: str,
 
     @pl.when(kk == n_k - 1)
     def _epilogue():
-        deq = (cx_ref[:] * cw_ref[:]) * (1.0 / (QRANGE * QRANGE))  # [TM,TN]
-        o_ref[:] = (acc_ref[:].astype(jnp.float32) * deq).astype(o_ref.dtype)
+        # broadcast [TM,1] then [1,TN] against acc — never materialize the
+        # [TM,TN] Cx x Cw outer product (it would cost a whole extra output
+        # tile of VMEM)
+        inv_r2 = 1.0 / (QRANGE * QRANGE)
+        o_ref[:] = ((acc_ref[:].astype(jnp.float32) * (cx_ref[:] * inv_r2))
+                    * cw_ref[:]).astype(o_ref.dtype)
 
 
 def _qmm_call(x, wq, cx, cw, *, rounding: str, bm: int, bn: int, bk: int,
@@ -158,18 +173,20 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _pick_tiles(m: int, n: int, k: int):
-    """Tuned on TPU v5e at 2048^3: the winning grid is wide-N (bn up to
-    2048 so each X tile is reused across the whole N extent), tall-M
-    (bm up to 1024, int32 accumulator tile <= 8 MB VMEM), K streamed in
-    512-deep slabs (f32 X tile <= 2 MB, int8 W tile <= 1 MB). Tile sizes
-    divide the padded dims as evenly as possible to bound padding waste
-    for ragged shapes. Measured 310 TF/s effective int8 at 2048^3
-    (raw XLA int8 dot: 329) vs 187 TF/s for the fp32 MXU path; swept
-    alternatives: full-K bk=2048 -> 303, bm=512 -> 235-303."""
+    """Swept on TPU v5e over {f32,bf16} X, m in {2048,8192}, n=k=2048
+    (scripts/tune_tiles.py protocol): (bm,bn,bk)=(512,2048,full-K) wins
+    every cell — 300/306 TF/s f32, 285/318 TF/s bf16 — and, unlike the
+    taller bm=1024 grids, never trips Mosaic's 16 MB scoped-VMEM limit
+    (whose accounting does not follow a simple tile-byte sum; several
+    analytically-smaller configs fail where this one compiles). Wide-N
+    reuses each X tile across the whole N extent; full-K (capped so the
+    int8 W tile stays <= 4 MB) removes the accumulation loop entirely for
+    k <= 2048 and streams 2048-deep slabs above that. Tile sizes divide
+    the padded dims as evenly as possible to bound padding waste."""
     bn = _round_up(_cdiv(n, _cdiv(n, 2048)), 128)
-    bk = _round_up(_cdiv(k, _cdiv(k, 512)), 128)
-    bm_cap = min(1024, max(32, (1 << 21) // bn // 32 * 32))  # acc <= 8 MB
-    bm = _round_up(_cdiv(m, _cdiv(m, bm_cap)), 32)
+    bk_cap = max(512, (4 << 20) // bn)          # int8 W tile <= 4 MB
+    bk = _round_up(_cdiv(k, _cdiv(k, bk_cap)), 128)
+    bm = _round_up(_cdiv(m, _cdiv(m, 512)), 32)
     return bm, bn, bk
 
 

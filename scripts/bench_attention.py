@@ -7,6 +7,9 @@ flops for comparability — the kernel skips ~half the work, so causal
 import argparse
 import sys
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import jax
 import jax.numpy as jnp
 

@@ -16,6 +16,9 @@ import json
 import sys
 import time
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import jax
 import jax.numpy as jnp
 
@@ -24,8 +27,9 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def time_generate(model, prompt, n, repeats=3):
-    f = jax.jit(lambda m, p: m.generate(p, n).sum())
+def time_generate(model, prompt, n, repeats=3, quantized_cache=False):
+    f = jax.jit(lambda m, p: m.generate(
+        p, n, quantized_cache=quantized_cache).sum())
     float(f(model, prompt))  # compile
     best = float("inf")
     for _ in range(repeats):
@@ -60,13 +64,15 @@ def main():
                     max_seq_len=args.prompt_len + args.n_hi + 8,
                     dtype="bfloat16")
     if args.int8_only:
-        runs = [("int8", GPT.init_quantized(cfg,
-                                            key=jax.random.PRNGKey(args.seed)))]
-        n_params = runs[0][1].num_params()
+        q = GPT.init_quantized(cfg, key=jax.random.PRNGKey(args.seed))
+        runs = [("int8", q, False), ("int8+int8kv", q, True)]
+        n_params = q.num_params()
     else:
         model = GPT.init(cfg, key=jax.random.PRNGKey(args.seed))
         n_params = model.num_params()
-        runs = [("bf16", model), ("int8", model.quantize())]
+        q = model.quantize()
+        runs = [("bf16", model, False), ("int8", q, False),
+                ("int8+int8kv", q, True)]
     log(f"model: {n_params/1e9:.2f}B params, {args.layers}L x "
         f"d{args.d_model}, batch {args.batch}")
 
@@ -74,9 +80,9 @@ def main():
                                 (args.batch, args.prompt_len), 0, args.vocab)
 
     results = {}
-    for name, m in runs:
-        t_hi = time_generate(m, prompt, args.n_hi)
-        t_lo = time_generate(m, prompt, args.n_lo)
+    for name, m, qkv in runs:
+        t_hi = time_generate(m, prompt, args.n_hi, quantized_cache=qkv)
+        t_lo = time_generate(m, prompt, args.n_lo, quantized_cache=qkv)
         per_tok = (t_hi - t_lo) / (args.n_hi - args.n_lo)
         tps = args.batch / per_tok
         results[name] = tps

@@ -1,6 +1,9 @@
 #!/usr/bin/env python
 """Quick A/B tile benchmark for the fused quantized matmul kernel."""
 import sys
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import jax
 import jax.numpy as jnp
 from qgemm_tpu.ops.pallas.quantized_matmul import _qmm_call, col_quantize_pallas

@@ -1,6 +1,9 @@
 #!/usr/bin/env python
 """Micro-bench the dynamic-path W column quantization step."""
 import functools
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import jax
 import jax.numpy as jnp
 from qgemm_tpu.ops.pallas.quantized_matmul import col_quantize_pallas
