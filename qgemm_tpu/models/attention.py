@@ -187,7 +187,22 @@ class MultiHeadAttention:
                 qi = jax.lax.broadcasted_iota(
                     jnp.int32, (1, 1, q.shape[2], s_max), 2) + idx
                 valid = jnp.logical_and(valid, kj <= qi)
-            if quantized:
+            if quantized and q.shape[2] == 1 and q.shape[0] % 8 == 0 \
+                    and kv_cache.kq.shape[2] >= 512 \
+                    and jax.default_backend() != "cpu":
+                # decode step on a long cache: fused Pallas kernel reads the
+                # cache as int8 at the HBM bound (measured 1.7x over the XLA
+                # path, whose int8->bf16 convert fuses into the dot only at
+                # some lengths; below ~512 positions the kernel's fixed
+                # dispatch cost loses to XLA, so short caches take the
+                # factored-scale jnp path below)
+                from qgemm_tpu.ops.pallas.decode_attention import \
+                    decode_attention
+                lengths = jnp.broadcast_to(
+                    jnp.asarray(cache_index).reshape(-1), (q.shape[0],)) + 1
+                out = decode_attention(q, new_cache.kq, new_cache.vq, lengths,
+                                       kc=new_cache.kc, vc=new_cache.vc)
+            elif quantized:
                 from qgemm_tpu.ops.kv_cache import QRANGE
                 d = q.shape[-1]
                 # dots in bf16: the int8->bf16 convert fuses into the dot so

@@ -89,13 +89,18 @@ def main():
         log(f"{name}: {per_tok*1e3:.3f} ms/step -> {tps:,.0f} tokens/s "
             f"(batch {args.batch})")
 
+    best = max(results, key=results.get)
     out = {
         "metric": "gpt_decode_tokens_per_sec_int8",
         "value": round(results["int8"], 1),
         "unit": "tokens/s",
         "params_b": round(n_params / 1e9, 2),
         "batch": args.batch,
+        "best_config": best,
+        "best_tokens_per_sec": round(results[best], 1),
     }
+    if "int8+int8kv" in results:
+        out["int8kv_tokens_per_sec"] = round(results["int8+int8kv"], 1)
     if "bf16" in results:
         out["int8_vs_bf16"] = round(results["int8"] / results["bf16"], 3)
     print(json.dumps(out))

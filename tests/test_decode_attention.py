@@ -1,0 +1,61 @@
+"""Fused decode-attention kernel (ops/pallas/decode_attention.py) vs a jnp
+oracle — float and int8 cache variants, per-slot lengths, ragged shapes.
+Runs in Pallas interpreter mode on the CPU conftest backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qgemm_tpu.ops.kv_cache import quantize_kv
+from qgemm_tpu.ops.pallas.decode_attention import decode_attention
+
+
+def _oracle(q, k, v, lengths):
+    d = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) / (d ** 0.5)
+    mask = jnp.arange(k.shape[2])[None, None, None, :] < \
+        lengths[:, None, None, None]
+    p = jax.nn.softmax(jnp.where(mask, s, -1e30), axis=-1)
+    return jnp.einsum("bhqk,bhkv->bhqv", p, v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("b,h,s,d", [(8, 4, 256, 128), (8, 2, 300, 128)])
+def test_float_cache_matches_oracle(b, h, s, d):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, h, 1, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, s, d), jnp.float32)
+    lengths = jnp.arange(1, b + 1, dtype=jnp.int32) * (s // (b + 1))
+    out = decode_attention(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_oracle(q, k, v, lengths)),
+                               rtol=0, atol=2e-3)
+
+
+def test_int8_cache_matches_oracle():
+    b, h, s, d = 8, 4, 333, 128
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(ks[0], (b, h, 1, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, s, d), jnp.float32)
+    kq, kc = quantize_kv(k)
+    vq, vc = quantize_kv(v)
+    lengths = jnp.array([7, 100, 333, 1, 50, 256, 8, 129], jnp.int32)
+    out = decode_attention(q, kq, vq, lengths, kc=kc, vc=vc)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_oracle(q, k, v, lengths)),
+                               rtol=0, atol=2e-2)
+
+
+def test_length_one_attends_only_first():
+    """lengths=1 -> output is exactly v[:, :, 0] (softmax over one position)."""
+    b, h, s, d = 8, 2, 128, 128
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(ks[0], (b, h, 1, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, s, d), jnp.float32)
+    out = decode_attention(q, k, v, jnp.ones((b,), jnp.int32))
+    np.testing.assert_allclose(np.asarray(out[:, :, 0]),
+                               np.asarray(v[:, :, 0]), rtol=0, atol=1e-5)
