@@ -35,6 +35,10 @@ class Request:
     prompt: List[int]
     max_new_tokens: int = 32
     eos_token: Optional[int] = None
+    # sampling (ops/sampling.py): temperature 0 = greedy; top_p 1 = off.
+    # top_k is engine-wide (static shape), not per-request.
+    temperature: float = 0.0
+    top_p: float = 1.0
     id: int = field(default_factory=itertools.count().__next__)
     generated: List[int] = field(default_factory=list)
     done: bool = False
@@ -171,15 +175,20 @@ class _NativeBookkeeper:
 class ContinuousBatchingEngine:
     def __init__(self, model, max_slots: int = 8,
                  max_seq_len: Optional[int] = None,
-                 scheduler: str = "auto", quantized_cache: bool = False):
+                 scheduler: str = "auto", quantized_cache: bool = False,
+                 top_k: int = 0, seed: int = 0):
         """``scheduler``: "python", "native" (C++ csrc/scheduler.cpp), or
         "auto" (native when the shared library is built).
         ``quantized_cache``: int8 KV cache (ops/kv_cache.py) — halves the
-        cache's HBM footprint, so 2x the slots or context per chip."""
+        cache's HBM footprint, so 2x the slots or context per chip.
+        ``top_k``: engine-wide top-k sampling cutoff (0 = off); per-request
+        temperature/top_p come from the Request."""
         self.model = model
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len or model.cfg.max_seq_len
         self.quantized_cache = quantized_cache
+        self.top_k = top_k
+        self._key = jax.random.PRNGKey(seed)
 
         if scheduler == "auto":
             from qgemm_tpu.serving import native
@@ -193,19 +202,23 @@ class ContinuousBatchingEngine:
                                        quantized=quantized_cache)
         self.positions = jnp.zeros((max_slots,), jnp.int32)
         self.cur_tokens = jnp.zeros((max_slots, 1), jnp.int32)
+        self.temps = jnp.zeros((max_slots,), jnp.float32)   # 0 = greedy
+        self.topps = jnp.ones((max_slots,), jnp.float32)
         self.finished: List[Request] = []
 
         self._decode = jax.jit(self._decode_impl)
         self._prefill = jax.jit(self._prefill_impl, static_argnames=("plen",))
 
     # ------------------------------------------------------------- jit fns
-    def _decode_impl(self, model, tok, pos, caches):
+    def _decode_impl(self, model, tok, pos, caches, key, temps, topps):
+        from qgemm_tpu.ops.sampling import sample_logits
         logits, caches = model.decode_step(tok, pos, caches)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = sample_logits(logits, key, temperature=temps,
+                            top_k=self.top_k, top_p=topps)
         return nxt, caches
 
     def _prefill_impl(self, model, prompt, plen_true, caches, slot_onehot,
-                      plen):
+                      key, temp, topp, plen):
         """Prefill one slot: run the (bucket-padded) prompt [1, plen] through
         the model with a fresh cache region, then scatter the slot's K/V rows
         into the shared cache via the one-hot slot mask. ``plen`` is the
@@ -226,8 +239,10 @@ class ContinuousBatchingEngine:
 
         new_caches = [jax.tree.map(scatter, c, t)
                       for c, t in zip(caches, tmp_caches)]
+        from qgemm_tpu.ops.sampling import sample_logits
         last_logits = jnp.take(logits[0], plen_true - 1, axis=0)
-        first_tok = jnp.argmax(last_logits).astype(jnp.int32)
+        first_tok = sample_logits(last_logits[None], key, temperature=temp,
+                                  top_k=self.top_k, top_p=topp)[0]
         return first_tok, new_caches
 
     # ---------------------------------------------------------------- admin
@@ -246,12 +261,16 @@ class ContinuousBatchingEngine:
             prompt = jnp.asarray(
                 np.pad(np.asarray(req.prompt, np.int32), (0, bucket - plen))[None, :])
             onehot = jnp.zeros((self.max_slots,), bool).at[slot].set(True)
+            self._key, sub = jax.random.split(self._key)
             first_tok, self.caches = self._prefill(
                 self.model, prompt, jnp.int32(plen), self.caches, onehot,
+                sub, jnp.float32(req.temperature), jnp.float32(req.top_p),
                 plen=bucket)
             # position = true prompt length (next write goes there)
             self.positions = self.positions.at[slot].set(plen)
             self.cur_tokens = self.cur_tokens.at[slot, 0].set(first_tok)
+            self.temps = self.temps.at[slot].set(req.temperature)
+            self.topps = self.topps.at[slot].set(req.top_p)
             self.book.admitted(slot, int(first_tok))
 
     # ----------------------------------------------------------------- run
@@ -265,8 +284,10 @@ class ContinuousBatchingEngine:
         active = self.book.active_mask()
         if not active.any():
             return False
+        self._key, sub = jax.random.split(self._key)
         nxt, self.caches = self._decode(self.model, self.cur_tokens,
-                                        self.positions, self.caches)
+                                        self.positions, self.caches,
+                                        sub, self.temps, self.topps)
         self.positions = self.positions + jnp.asarray(active, jnp.int32)
         self.cur_tokens = nxt[:, None]
         self.book.record_step(np.asarray(nxt))

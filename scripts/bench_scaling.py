@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Multi-device / multi-host tokens/s scaling (BASELINE config 5: >=85%
+scaling efficiency at 2 hosts).
+
+Two modes:
+
+  * On real multi-chip hardware (a pod slice; run one process per host with
+    ``initialize_distributed``), measures decode tokens/s of the
+    tensor-sharded GPT at mesh sizes 1, 2, 4, ... and prints measured
+    scaling efficiency.
+  * On a single chip / the virtual CPU mesh, it still *runs* the sharded
+    program at every mesh size (validating the TP path end-to-end), then
+    prints the analytic ICI roofline for the requested topology — virtual
+    devices share one host's compute, so measured "scaling" there would be
+    meaningless, and the script says so rather than printing a fake number.
+
+Analytic model (documented so it can be checked against a real pod):
+decode is HBM-bound; TP over N chips splits the weight read time t_w by N
+and adds, per layer, two all-reduces of the [B, 1, d_model] activations
+(Megatron wiring: after attention's W_O and after the FFN down-projection).
+A bf16 all-reduce of V bytes over an N-chip ring costs 2V(N-1)/N / bw_ici.
+DP serving (independent slots per host) has no per-step cross-host traffic
+at all: its decode efficiency is 1.0 by construction and only admission
+load-balance can lose throughput.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
+if "--cpu" in _sys.argv:  # virtual 8-device CPU mesh (validation mode);
+    # env vars alone are too late — the boot hook pre-pins the platform
+    flags = _os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        _os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+import jax
+import jax.numpy as jnp
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def time_sharded_generate(model, mesh, prompt, n_hi, n_lo, repeats=3):
+    from qgemm_tpu.parallel.sharding import shard_model
+    sharded = shard_model(model, mesh)
+
+    def run(n):
+        f = jax.jit(lambda m, p: m.generate(p, n).sum())
+        float(f(sharded, prompt))
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(f(sharded, prompt))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (run(n_hi) - run(n_lo)) / (n_hi - n_lo)
+
+
+def analytic_tp_efficiency(n_chips, n_layers, d_model, n_params,
+                           batch, hbm_gbps=820.0, ici_gbps=180.0):
+    """Efficiency of TP-N vs 1 chip for HBM-bound int8 decode (see module
+    docstring). ici_gbps is per-link bidirectional payload bandwidth
+    (v5e: 4 links x ~45 GB/s effective)."""
+    t_w = n_params / (hbm_gbps * 1e9)           # int8: 1 byte/param
+    v = 2 * n_layers * batch * d_model * 2      # bf16 all-reduce bytes/step
+    t_ar = 2 * v * (n_chips - 1) / n_chips / (ici_gbps * 1e9)
+    return (t_w / n_chips) / (t_w / n_chips + t_ar) if n_chips > 1 else 1.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--d-model", type=int, default=512)
+    ap.add_argument("--d-ff", type=int, default=2048)
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--vocab", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--n-hi", type=int, default=24)
+    ap.add_argument("--n-lo", type=int, default=8)
+    ap.add_argument("--real", action="store_true",
+                    help="trust wall-clock scaling (set on a real pod)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the virtual 8-device CPU mesh (validates "
+                         "the sharded program at every mesh size)")
+    args = ap.parse_args()
+
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    from qgemm_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    sizes = [s for s in (1, 2, 4, 8, 16) if s <= n_dev]
+    log(f"devices: {n_dev} x {jax.devices()[0].device_kind}; "
+        f"mesh sizes {sizes}")
+
+    cfg = GPTConfig(vocab_size=args.vocab, d_model=args.d_model,
+                    n_heads=args.heads, d_ff=args.d_ff,
+                    n_layers=args.layers, max_seq_len=64)
+    model = GPT.init(cfg, key=jax.random.PRNGKey(0))
+    n_params = model.num_params()
+    prompt = jax.random.randint(jax.random.PRNGKey(1),
+                                (args.batch, 8), 0, args.vocab)
+
+    measured = {}
+    for s in sizes:
+        mesh = make_mesh((1, s), ("data", "model"),
+                         devices=jax.devices()[:s])
+        per_tok = time_sharded_generate(model, mesh, prompt,
+                                        args.n_hi, args.n_lo)
+        measured[s] = args.batch / per_tok
+        log(f"TP={s}: {per_tok*1e3:.3f} ms/step -> "
+            f"{measured[s]:,.0f} tokens/s")
+
+    out = {"metric": "tp_decode_scaling", "unit": "tokens/s",
+           "params_b": round(n_params / 1e9, 3),
+           "measured": {str(k): round(v, 1) for k, v in measured.items()}}
+
+    if args.real and 2 in measured:
+        out["efficiency_2x"] = round(measured[2] / (2 * measured[1]), 3)
+        out["value"] = out["efficiency_2x"]
+    else:
+        log("single-host backend: wall-clock scaling is not meaningful "
+            "(virtual devices share one host) — reporting the analytic "
+            "ICI roofline instead; run with --real on a pod to measure")
+        eff = analytic_tp_efficiency(2, args.layers, args.d_model,
+                                     n_params, args.batch)
+        # latency-oriented TP halves step time; tokens/s efficiency for
+        # 2 hosts serving INDEPENDENT slots (DP) is 1.0 by construction
+        out["analytic_tp2_efficiency"] = round(eff, 3)
+        out["dp2_efficiency"] = 1.0
+        out["value"] = round(eff, 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
