@@ -139,6 +139,55 @@ def _qmm_kernel(x_ref, wq_ref, cx_ref, cw_ref, o_ref, acc_ref, *, rounding: str,
                     * cw_ref[:]).astype(o_ref.dtype)
 
 
+def _qmm_fused_cx_kernel(x_ref, wq_ref, cw_ref, o_ref, *, rounding: str):
+    """Single-K-step variant: the X tile spans the whole (padded) K extent,
+    so the per-row absmax is computed here instead of a separate XLA pass —
+    saving one full HBM read of X (which cost the two-pass path ~30% at
+    2048^3: 292 vs 386 TF/s). No int32 scratch either: one K step writes
+    the output tile directly."""
+    x = x_ref[:].astype(jnp.float32)
+    cx = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), _EPS)
+    scaled = x * (QRANGE / cx)
+    if rounding == "nearest":
+        xq = jnp.clip(jnp.round(scaled), -QRANGE, QRANGE).astype(jnp.int8)
+    else:
+        xq = scaled.astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    inv_r2 = 1.0 / (QRANGE * QRANGE)
+    o_ref[:] = ((acc.astype(jnp.float32) * (cx * inv_r2))
+                * cw_ref[:]).astype(o_ref.dtype)
+
+
+def _qmm_fused_cx_call(x, wq, cw, *, rounding: str, bm: int, bn: int,
+                       out_dtype=jnp.float32):
+    m, k = x.shape
+    n = wq.shape[1]
+    flops = 2 * m * n * k
+    return pl.pallas_call(
+        functools.partial(_qmm_fused_cx_kernel, rounding=rounding),
+        grid=(m // bm, n // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=_compiler_params(("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=m * k * x.dtype.itemsize + k * n + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x, wq, cw)
+
+
 def _qmm_call(x, wq, cx, cw, *, rounding: str, bm: int, bn: int, bk: int,
               out_dtype=jnp.float32):
     m, k = x.shape
@@ -200,18 +249,25 @@ def quantized_matmul_prequant_pallas(x, wq, cw, rounding: str = "nearest",
     """
     m, k = x.shape
     n = wq.shape[1]
-    cx = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1,
-                             keepdims=True), _EPS)
 
     bm, bn, bk = _pick_tiles(m, n, k)
     mp, np_, kp = _round_up(m, bm), _round_up(n, bn), _round_up(k, bk)
     if (mp, kp) != (m, k):
         x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
-        cx = jnp.pad(cx, ((0, mp - m), (0, 0)), constant_values=1.0)
     if (kp, np_) != (k, n):
         wq = jnp.pad(wq, ((0, kp - k), (0, np_ - n)))
         cw = jnp.pad(cw, ((0, 0), (0, np_ - n)), constant_values=1.0)
 
+    if kp == bk:
+        # full-K tiles: absmax(X row) is computable inside the kernel —
+        # skip the separate XLA pass (one whole HBM read of X) entirely.
+        # K-padding is zeros, so in-kernel absmax == absmax of the true row.
+        out = _qmm_fused_cx_call(x, wq, cw, rounding=rounding, bm=bm, bn=bn,
+                                 out_dtype=out_dtype)
+        return out[:m, :n]
+
+    cx = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1,
+                             keepdims=True), _EPS)
     out = _qmm_call(x, wq, cx, cw, rounding=rounding, bm=bm, bn=bn, bk=bk,
                     out_dtype=out_dtype)
     return out[:m, :n]
