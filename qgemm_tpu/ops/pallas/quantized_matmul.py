@@ -4,19 +4,16 @@ TPU-first redesign of the reference pipeline (src/ops/op_mm.cuh:69-101),
 which launched ~9 unfused CUDA kernels (2 absmax, 2 inv-divide, 2
 quantize-multiply, int8 mm, outer-product mm, dequant multiply) and was
 4.18x SLOWER than its own fp32 GEMM (README.md:25). Here the whole pipeline
-is two HBM passes:
-
-  pass 1 (tiny): per-row absmax Cx of the activations — one read of X that
-     XLA fuses; weights are quantized offline (serving) or by the same
-     col-quantize kernel (dynamic path).
-  pass 2 (the kernel): grid (M/TM, N/TN, K/TK). Each step loads an f32/bf16
-     X tile and an int8 W tile, quantizes the X tile *in registers* using the
-     prefetched row scales (round-to-nearest), runs int8xint8->int32 on the
-     MXU, accumulates in VMEM scratch, and on the last K step applies the
-     dequant epilogue out = acc * (Cx Cw)/127^2. X is never written back as
-     int8 — quantization is fused into the matmul's data movement, so the
-     quantize+mm+dequant pipeline costs one X read + one W read + one O
-     write, the same HBM traffic as the plain matmul.
+is ONE HBM pass for K <= 2048 (the tuned tiles use full-K blocks, so each
+kernel step holds the entire X row in VMEM): per-row absmax Cx, quantize
+(round-to-nearest), int8xint8->int32 on the MXU, and the dequant epilogue
+out = acc * (Cx Cw)/127^2 all happen in registers between one X read, one
+int8 W read, and one O write — the same HBM traffic as a plain matmul.
+Weights are quantized offline (serving) or by a fused XLA pass (dynamic
+path). For K > 2048 the kernel streams 2048-deep K slabs with an int32 VMEM
+accumulator and takes the row scales from a separate fused absmax pass
+(prefetched [TM,1] / [1,TN] blocks); X is never written back as int8 in
+either variant.
 
 All kernels fall back to interpreter mode off-TPU so the same tests run on
 the CPU conftest mesh.
