@@ -111,17 +111,22 @@ class MNIST:
         return cls(images=images, targets=targets)
 
     @classmethod
-    def synthetic(cls, n: int, seed: int = 0, n_classes: int = 10) -> "MNIST":
+    def synthetic(cls, n: int, seed: int = 0, n_classes: int = 10,
+                  noise: float = 0.3) -> "MNIST":
         """Deterministic learnable synthetic stand-in (no-egress fallback):
         each class is a fixed random template plus noise. Templates come from
         a constant key so splits built with different seeds (train/test) share
-        the class structure and held-out accuracy is meaningful."""
+        the class structure and held-out accuracy is meaningful. ``noise``
+        sets the difficulty: 0.3 is near-separable (fast tests); the MNIST
+        oracle protocol (scripts/mnist_oracle.py) uses a much higher level so
+        accuracies land in an MNIST-like 90-97% band where a cross-framework
+        parity comparison is informative rather than saturated."""
         templates = np.random.default_rng(2051).uniform(
             0, 1, size=(n_classes, 784)).astype(np.float32)
         rng = np.random.default_rng(seed)
         targets = rng.integers(0, n_classes, size=(n,)).astype(np.int32)
-        noise = rng.normal(0, 0.3, size=(n, 784)).astype(np.float32)
-        images = np.clip(templates[targets] + noise, 0, 1)
+        eps = rng.normal(0, noise, size=(n, 784)).astype(np.float32)
+        images = np.clip(templates[targets] + eps, 0, 1)
         return cls(images=images, targets=targets)
 
     def __len__(self) -> int:

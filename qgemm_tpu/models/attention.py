@@ -117,6 +117,20 @@ class MultiHeadAttention:
             wqkv_v=self.wqkv_v.quantize(**qkw), w_o=self.w_o.quantize(**qkw),
             n_heads=self.n_heads)
 
+    def with_tp(self, mesh, axis: str = "model") -> "MultiHeadAttention":
+        """Megatron pairing for a quantized module: QKV column-sharded with
+        ``gather_output=False`` (activations stay head-sharded through the
+        attention math) and W_O row-sharded — exactly ONE psum per block."""
+        col = lambda l: l.with_tp("column", mesh, axis, gather_output=False)
+        return MultiHeadAttention(
+            wqkv_q=col(self.wqkv_q), wqkv_k=col(self.wqkv_k),
+            wqkv_v=col(self.wqkv_v), w_o=self.w_o.with_tp("row", mesh, axis),
+            n_heads=self.n_heads)
+
+    @property
+    def _tp(self) -> bool:
+        return getattr(self.w_o, "tp_mode", "none") != "none"
+
     def _split(self, x):
         b, s, d = x.shape
         return x.reshape(b, s, self.n_heads, d // self.n_heads).transpose(0, 2, 1, 3)
@@ -187,9 +201,9 @@ class MultiHeadAttention:
                 qi = jax.lax.broadcasted_iota(
                     jnp.int32, (1, 1, q.shape[2], s_max), 2) + idx
                 valid = jnp.logical_and(valid, kj <= qi)
-            if quantized and q.shape[2] == 1 and q.shape[0] % 8 == 0 \
+            if quantized and q.shape[2] == 1 \
                     and kv_cache.kq.shape[2] >= 512 \
-                    and jax.default_backend() != "cpu":
+                    and jax.default_backend() != "cpu" and not self._tp:
                 # decode step on a long cache: fused Pallas kernel reads the
                 # cache as int8 at the HBM bound (measured 1.7x over the XLA
                 # path, whose int8->bf16 convert fuses into the dot only at
@@ -226,14 +240,19 @@ class MultiHeadAttention:
             out = self.w_o(self._merge(out))
             return out, new_cache
 
-        out = _dispatch_attention(q, k, v, causal=causal)
+        out = _dispatch_attention(q, k, v, causal=causal,
+                                  allow_kernels=not self._tp)
         return self.w_o(self._merge(out))
 
 
-def _dispatch_attention(q, k, v, causal: bool):
+def _dispatch_attention(q, k, v, causal: bool, allow_kernels: bool = True):
     """Full-sequence path: flash kernel on TPU for non-trivial lengths
-    (O(S*d) memory, scores never hit HBM), jnp composition otherwise."""
-    if jax.default_backend() != "cpu" and q.shape[-2] >= 128 and k.shape[-2] >= 128:
+    (O(S*d) memory, scores never hit HBM), jnp composition otherwise.
+    ``allow_kernels=False`` under tensor parallelism: GSPMD cannot partition
+    a pallas_call, so the head-sharded attention math stays in jnp (XLA
+    keeps it local — no collective; heads are embarrassingly parallel)."""
+    if allow_kernels and jax.default_backend() != "cpu" \
+            and q.shape[-2] >= 128 and k.shape[-2] >= 128:
         from qgemm_tpu.ops.pallas.flash_attention import flash_attention
         return flash_attention(q, k, v, causal=causal)
     return scaled_dot_product_attention(q, k, v, causal=causal)

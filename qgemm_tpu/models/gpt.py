@@ -78,6 +78,13 @@ class GPTBlock:
                         ffn=self.ffn.quantize(**qkw),
                         ln1=self.ln1, ln2=self.ln2)
 
+    def with_tp(self, mesh, axis: str = "model") -> "GPTBlock":
+        ffn = self.ffn
+        if hasattr(ffn, "with_tp"):  # dense FFN; MoE shards via expert axis
+            ffn = ffn.with_tp(mesh, axis)
+        return GPTBlock(attn=self.attn.with_tp(mesh, axis), ffn=ffn,
+                        ln1=self.ln1, ln2=self.ln2)
+
     def __call__(self, x, cache=None, cache_index=None):
         if cache is None:
             x = x + self.attn(self.ln1(x), causal=True)
@@ -120,6 +127,16 @@ class GPT:
         decomposition (the >6.7B-param regime, README.md:26)."""
         return replace(self, blocks=[b.quantize(**qkw) for b in self.blocks],
                        lm_head=self.lm_head.quantize(**qkw))
+
+    def with_tp(self, mesh, axis: str = "model") -> "GPT":
+        """Mark every quantized GEMM for explicit-collective tensor
+        parallelism (parallel/tp_ops.py). Call on a quantized model; use
+        ``parallel.sharding.shard_quantized_model`` to also place the
+        weight shards. lm_head is column-sharded over vocab with its output
+        gathered (sampling wants full logits)."""
+        return replace(self, blocks=[b.with_tp(mesh, axis) for b in self.blocks],
+                       lm_head=self.lm_head.with_tp("column", mesh, axis,
+                                                    gather_output=True))
 
     @classmethod
     def init_quantized(cls, cfg: GPTConfig, key: Optional[jax.Array] = None,

@@ -61,14 +61,58 @@ class Linear:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=("wq", "b"),
-         meta_fields=("out_features", "outlier_threshold", "outlier_capacity"))
+         meta_fields=("out_features", "outlier_threshold", "outlier_capacity",
+                      "tp_mode", "tp_axis", "gather_output", "mesh"))
 @dataclass
 class QuantizedLinear:
+    """``tp_mode`` routes the fused int8 Pallas kernel multi-chip: GSPMD
+    cannot partition a ``pallas_call``, so under a mesh the matmul runs
+    inside ``shard_map`` with explicit collectives (parallel/tp_ops.py):
+
+      * ``"column"``: wq sharded on N (Megatron QKV / FFN-up); with
+        ``gather_output=False`` the output stays N-sharded to feed the
+        paired row layer with zero traffic;
+      * ``"row"``: wq sharded on K, activation consumed K-sharded, ONE
+        psum after the partial int8 products (Megatron W_O / FFN-down).
+
+    Marks are applied by ``parallel.sharding.shard_quantized_model`` (which
+    also device_puts the shards); ``tp_mode="none"`` is the single-chip
+    path. Mesh/axis live in meta so the module stays one jit-stable pytree.
+    """
     wq: QuantizedWeight
     b: Optional[jax.Array]
     out_features: int
     outlier_threshold: float = 0.0
     outlier_capacity: int = 32
+    tp_mode: str = "none"          # "none" | "column" | "row"
+    tp_axis: str = "model"
+    gather_output: bool = True     # column mode: all-gather the output?
+    mesh: object = None            # jax.sharding.Mesh when tp_mode != "none"
+
+    def with_tp(self, mode: str, mesh, axis: str = "model",
+                gather_output: bool = True) -> "QuantizedLinear":
+        from dataclasses import replace
+        p = mesh.shape[axis]
+        k, n = self.wq.q.shape
+        if (mode == "column" and n % p) or (mode == "row" and k % p):
+            # indivisible shard dim (e.g. odd vocab): stay single-kernel —
+            # every device runs the full matmul on the replicated weight
+            # (GSPMD reshards the activation around it), still correct
+            return self
+        return replace(self, tp_mode=mode, tp_axis=axis,
+                       gather_output=gather_output, mesh=mesh)
+
+    def _matmul(self, x2):
+        if self.tp_mode == "column":
+            from qgemm_tpu.parallel.tp_ops import tp_quantized_matmul_column
+            return tp_quantized_matmul_column(
+                x2, self.wq.q, self.wq.c, self.mesh, self.tp_axis,
+                gather_output=self.gather_output)
+        if self.tp_mode == "row":
+            from qgemm_tpu.parallel.tp_ops import tp_quantized_matmul_row
+            return tp_quantized_matmul_row(x2, self.wq.q, self.wq.c,
+                                           self.mesh, self.tp_axis)
+        return quantized_matmul_prequant(x2, self.wq)
 
     def __call__(self, x):
         orig_shape = x.shape
@@ -76,9 +120,10 @@ class QuantizedLinear:
         if self.outlier_threshold > 0:
             y = quantized_matmul_prequant_outlier(
                 x2, self.wq, threshold=self.outlier_threshold,
-                capacity=self.outlier_capacity).astype(x.dtype)
+                capacity=self.outlier_capacity,
+                matmul_fn=lambda x_in, wq: self._matmul(x_in)).astype(x.dtype)
         else:
-            y = quantized_matmul_prequant(x2, self.wq).astype(x.dtype)
+            y = self._matmul(x2).astype(x.dtype)
         y = y.reshape(*orig_shape[:-1], self.out_features)
         if self.b is not None:
             y = y + self.b

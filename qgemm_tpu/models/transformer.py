@@ -79,6 +79,14 @@ class FeedForward:
     def quantize(self, **qkw) -> "FeedForward":
         return FeedForward(up=self.up.quantize(**qkw), down=self.down.quantize(**qkw))
 
+    def with_tp(self, mesh, axis: str = "model") -> "FeedForward":
+        """Megatron pairing: up column-sharded (output stays d_ff-sharded,
+        the ReLU is elementwise so GSPMD keeps it local), down row-sharded —
+        ONE psum per FFN."""
+        return FeedForward(
+            up=self.up.with_tp("column", mesh, axis, gather_output=False),
+            down=self.down.with_tp("row", mesh, axis))
+
     def __call__(self, x):
         return self.down(jnp.maximum(self.up(x), 0))
 

@@ -139,14 +139,19 @@ def quantized_matmul_prequant(x, wq: QuantizedWeight, backend: str = "auto",
 def quantized_matmul_prequant_outlier(x, wq: QuantizedWeight,
                                       threshold: float = 6.0,
                                       capacity: int = 32,
-                                      backend: str = "auto"):
+                                      backend: str = "auto",
+                                      matmul_fn=None):
     """Serving-path outlier decomposition (bitsandbytes semantics): weights
     live ONLY in int8. Outlier activation feature-dims (|x| column absmax >
     threshold, static top-k capacity) are zeroed in the int8 path; the
     matching int8 weight ROWS are dequantized to bf16 on the fly
     (w_row ~= wq[row] * cw / 127) and matmul'd against the outlier columns
     in bf16. Memory stays int8; accuracy recovers the X-quantization error,
-    which dominates for LLM.int8()-style outliers."""
+    which dominates for LLM.int8()-style outliers.
+
+    ``matmul_fn(x_in, wq) -> out`` overrides the inlier int8 matmul — the
+    tensor-parallel QuantizedLinear routes it through shard_map tp_ops while
+    the outlier split/extract stays at the global-array (GSPMD) level."""
     k = x.shape[-1]
     capacity = min(capacity, k)
     col_absmax = jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1)))
@@ -155,16 +160,26 @@ def quantized_matmul_prequant_outlier(x, wq: QuantizedWeight,
 
     mask = jnp.zeros((k,), jnp.bool_).at[top_idx].set(selected)
     x_in = jnp.where(mask, 0.0, x)
-    out = quantized_matmul_prequant(x_in, wq, backend=backend)
+    if matmul_fn is None:
+        out = quantized_matmul_prequant(x_in, wq, backend=backend)
+    else:
+        out = matmul_fn(x_in, wq)
 
     x_o = jnp.take(x, top_idx, axis=-1) * selected.astype(x.dtype)
     w_rows = jnp.take(wq.q, top_idx, axis=0).astype(jnp.float32) \
         * wq.c * (1.0 / QRANGE)                                   # [cap, n]
+    od = _outlier_dot_dtype()
     out_fp = jax.lax.dot_general(
-        x_o.astype(jnp.bfloat16), w_rows.astype(jnp.bfloat16),
+        x_o.astype(od), w_rows.astype(od),
         dimension_numbers=(((x_o.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     return out + out_fp
+
+
+def _outlier_dot_dtype():
+    """bf16 on TPU (MXU-native); f32 on CPU, whose DotThunk cannot execute
+    BF16 x BF16 = F32 (hit by the virtual-mesh tests)."""
+    return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
 
 
 # ---------------------------------------------------------------------------
@@ -198,8 +213,9 @@ def quantized_matmul_outlier(x, w, threshold: float = 6.0,
 
     x_o = jnp.take(x, top_idx, axis=-1) * selected.astype(x.dtype)    # [m,cap]
     w_o = jnp.take(w, top_idx, axis=0)                                # [cap,n]
+    od = _outlier_dot_dtype()
     out_fp = jax.lax.dot_general(
-        x_o.astype(jnp.bfloat16), w_o.astype(jnp.bfloat16),
+        x_o.astype(od), w_o.astype(od),
         dimension_numbers=(((x_o.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )

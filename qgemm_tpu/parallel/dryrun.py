@@ -72,6 +72,35 @@ def run_dryrun(n_devices: int) -> None:
     toks = gen(model, batch["src"])
     jax.block_until_ready(toks)
 
+    # --- integrated int8 TP serving path (BASELINE config 5) ---------------
+    # quantized GPT with every GEMM routed through the shard_map int8
+    # kernels (mesh-aware QuantizedLinear), driven by the continuous
+    # batching engine with a head-sharded KV cache
+    from qgemm_tpu.models.gpt import GPT as _GPT, GPTConfig as _GPTConfig
+    from qgemm_tpu.parallel.sharding import shard_quantized_model
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+
+    qcfg = _GPTConfig(vocab_size=64, d_model=8 * model_par,
+                      n_heads=model_par, d_ff=16 * model_par, n_layers=2,
+                      max_seq_len=64)
+    qgpt = _GPT.init(qcfg, key=jax.random.PRNGKey(7)).quantize()
+    qgpt_sharded = shard_quantized_model(qgpt, mesh)
+    assert qgpt_sharded.blocks[0].attn.wqkv_q.tp_mode == "column"
+    assert qgpt_sharded.blocks[0].ffn.down.tp_mode == "row"
+
+    qtoks = jnp.ones((2, 6), jnp.int32)
+    qgen_ref = jax.jit(lambda m, p: m.generate(p, 3))(qgpt, qtoks)
+    qgen = jax.jit(lambda m, p: m.generate(p, 3))(qgpt_sharded, qtoks)
+    jax.block_until_ready(qgen)
+    assert bool(jnp.all(qgen == qgen_ref)), "TP int8 generate != single-device"
+
+    eng = ContinuousBatchingEngine(qgpt_sharded, max_slots=2, mesh=mesh,
+                                   quantized_cache=True)
+    eng.submit(Request(prompt=[1, 2, 3], max_new_tokens=3))
+    eng.submit(Request(prompt=[4, 5], max_new_tokens=3))
+    fin = eng.run_to_completion()
+    assert len(fin) == 2 and all(len(r.generated) == 3 for r in fin)
+
     # --- pipeline parallelism: GPipe fwd + bwd over a `pipe` axis ----------
     from qgemm_tpu.models.gpt import GPT, GPTConfig
     from qgemm_tpu.parallel.pipeline import pipeline_gpt_forward

@@ -65,11 +65,54 @@ def model_sharding_spec(model):
                                             model)
 
 
+def _divisible(leaf, spec, mesh: Mesh) -> bool:
+    for dim, names in enumerate(spec):
+        if names is None:
+            continue
+        names = names if isinstance(names, tuple) else (names,)
+        size = 1
+        for n in names:
+            size *= mesh.shape[n]
+        if leaf.shape[dim] % size:
+            return False
+    return True
+
+
 def shard_model(model, mesh: Mesh):
-    """device_put every parameter with its NamedSharding."""
+    """device_put every parameter with its NamedSharding. Leaves whose dims
+    don't divide the mesh axis (e.g. an odd vocab on the model axis) fall
+    back to replication rather than erroring."""
     spec = model_sharding_spec(model)
-    return jax.tree_util.tree_map(
-        lambda l, s: jax.device_put(l, NamedSharding(mesh, s)), model, spec)
+
+    def put(leaf, s):
+        if not _divisible(leaf, s, mesh):
+            s = _REP
+        return jax.device_put(leaf, NamedSharding(mesh, s))
+
+    return jax.tree_util.tree_map(put, model, spec)
+
+
+def shard_quantized_model(model, mesh: Mesh, axis: str = "model"):
+    """Tensor parallelism for the int8 serving path (BASELINE config 5).
+
+    GSPMD cannot partition a ``pallas_call``, so sharding the float model
+    alone would replicate (or fail to place) the fused int8 kernels. This
+    instead (a) marks every QuantizedLinear for the explicit-collective
+    shard_map kernels (``model.with_tp`` -> parallel/tp_ops.py, Megatron
+    column/row pairing: one psum per attention block and one per FFN) and
+    (b) device_puts the int8 shards + scales per the same rules GSPMD uses
+    for the float model (the [1,n] per-column absmax follows its columns).
+    """
+    return shard_model(model.with_tp(mesh, axis), mesh)
+
+
+def shard_kv_caches(caches, mesh: Mesh, axis: str = "model"):
+    """Head-shard every KV-cache leaf [B, H, S, *] over the model axis —
+    matches the column-sharded K/V projections (heads split across devices)
+    so cache writes and decode attention stay local to each device."""
+    def put(leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, P(None, axis)))
+    return jax.tree_util.tree_map(put, caches)
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):

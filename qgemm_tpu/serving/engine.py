@@ -176,18 +176,23 @@ class ContinuousBatchingEngine:
     def __init__(self, model, max_slots: int = 8,
                  max_seq_len: Optional[int] = None,
                  scheduler: str = "auto", quantized_cache: bool = False,
-                 top_k: int = 0, seed: int = 0):
+                 top_k: int = 0, seed: int = 0, mesh=None):
         """``scheduler``: "python", "native" (C++ csrc/scheduler.cpp), or
         "auto" (native when the shared library is built).
         ``quantized_cache``: int8 KV cache (ops/kv_cache.py) — halves the
         cache's HBM footprint, so 2x the slots or context per chip.
         ``top_k``: engine-wide top-k sampling cutoff (0 = off); per-request
-        temperature/top_p come from the Request."""
+        temperature/top_p come from the Request.
+        ``mesh``: tensor-parallel serving — pass the mesh the model was
+        sharded over (``parallel.sharding.shard_quantized_model``); the KV
+        cache is head-sharded over its ``model`` axis to match the
+        column-sharded K/V projections."""
         self.model = model
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len or model.cfg.max_seq_len
         self.quantized_cache = quantized_cache
         self.top_k = top_k
+        self.mesh = mesh
         self._key = jax.random.PRNGKey(seed)
 
         if scheduler == "auto":
@@ -200,6 +205,9 @@ class ContinuousBatchingEngine:
 
         self.caches = model.init_cache(max_slots, self.max_seq_len,
                                        quantized=quantized_cache)
+        if mesh is not None:
+            from qgemm_tpu.parallel.sharding import shard_kv_caches
+            self.caches = shard_kv_caches(self.caches, mesh)
         self.positions = jnp.zeros((max_slots,), jnp.int32)
         self.cur_tokens = jnp.zeros((max_slots, 1), jnp.int32)
         self.temps = jnp.zeros((max_slots,), jnp.float32)   # 0 = greedy
@@ -217,25 +225,29 @@ class ContinuousBatchingEngine:
                             top_k=self.top_k, top_p=topps)
         return nxt, caches
 
-    def _prefill_impl(self, model, prompt, plen_true, caches, slot_onehot,
+    def _prefill_impl(self, model, prompt, plen_true, caches, slot,
                       key, temp, topp, plen):
         """Prefill one slot: run the (bucket-padded) prompt [1, plen] through
-        the model with a fresh cache region, then scatter the slot's K/V rows
-        into the shared cache via the one-hot slot mask. ``plen`` is the
-        static bucket length (one compile per bucket); ``plen_true`` is the
-        traced true prompt length (junk K/V beyond it is never attended —
-        decode masks strictly by per-slot position)."""
+        the model with a fresh cache region, then write the slot's K/V rows
+        into the shared cache with ONE ``dynamic_update_slice`` per leaf at
+        the slot index — admission HBM traffic is O(prompt x layers x d), not
+        a rewrite of the whole [slots, H, S, D] cache (the jnp.where scatter
+        this replaces moved GBs per admission at 6.7B/16 slots). ``plen`` is
+        the static bucket length (one compile per bucket); ``plen_true`` is
+        the traced true prompt length (junk K/V beyond it — including stale
+        rows from the slot's previous occupant — is never attended: decode
+        masks strictly by per-slot position)."""
         tmp_caches = model.init_cache(1, plen,
                                       quantized=self.quantized_cache)
         logits, tmp_caches = model.prefill(prompt, tmp_caches)
-        sel = slot_onehot[:, None, None, None]  # [slots,1,1,1]
 
         def scatter(c_full, c_tmp):
             # every cache leaf (K/V values or scales, float or int8) is
-            # [B, H, S, *] with positions on axis 2
-            pad = jnp.pad(c_tmp, ((0, 0), (0, 0),
-                                  (0, c_full.shape[2] - plen), (0, 0)))
-            return jnp.where(sel, pad, c_full)
+            # [B, H, S, *] with positions on axis 2; write the [1, H, plen, *]
+            # block in place at (slot, 0, 0, 0)
+            zero = jnp.zeros((), jnp.int32)
+            return jax.lax.dynamic_update_slice(
+                c_full, c_tmp, (slot, zero, zero, zero))
 
         new_caches = [jax.tree.map(scatter, c, t)
                       for c, t in zip(caches, tmp_caches)]
@@ -256,16 +268,16 @@ class ContinuousBatchingEngine:
                 return
             slot, req = adm
             plen = len(req.prompt)
-            # bucket prompt length (pow2) to bound recompilation
-            bucket = max(8, 1 << (plen - 1).bit_length())
+            # bucket prompt length (pow2, clamped to the cache extent so the
+            # dynamic_update_slice block always fits) to bound recompilation
+            bucket = min(max(8, 1 << (plen - 1).bit_length()), self.max_seq_len)
             prompt = jnp.asarray(
                 np.pad(np.asarray(req.prompt, np.int32), (0, bucket - plen))[None, :])
-            onehot = jnp.zeros((self.max_slots,), bool).at[slot].set(True)
             self._key, sub = jax.random.split(self._key)
             first_tok, self.caches = self._prefill(
-                self.model, prompt, jnp.int32(plen), self.caches, onehot,
-                sub, jnp.float32(req.temperature), jnp.float32(req.top_p),
-                plen=bucket)
+                self.model, prompt, jnp.int32(plen), self.caches,
+                jnp.int32(slot), sub, jnp.float32(req.temperature),
+                jnp.float32(req.top_p), plen=bucket)
             # position = true prompt length (next write goes there)
             self.positions = self.positions.at[slot].set(plen)
             self.cur_tokens = self.cur_tokens.at[slot, 0].set(first_tok)

@@ -115,3 +115,33 @@ def test_init_quantized_matches_quantize():
     assert len(la) == len(lb)
     for x, y in zip(la, lb):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_engine_under_mesh_matches_single_device():
+    """BASELINE config 5 end-to-end: the SAME engine drives a tensor-sharded
+    int8 model (shard_map tp_ops inside the jitted decode/prefill) and
+    produces the single-device quantized model's transcripts exactly."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from qgemm_tpu.parallel.mesh import make_mesh
+    from qgemm_tpu.parallel.sharding import shard_quantized_model
+
+    mesh = make_mesh((2, 4), ("data", "model"))
+    qm = _model(seed=4).quantize()
+    qms = shard_quantized_model(qm, mesh)
+
+    def transcripts(model, **kw):
+        eng = ContinuousBatchingEngine(model, max_slots=4, **kw)
+        prompts = [[1 + i, 2, 3] for i in range(6)]
+        for p in prompts:
+            eng.submit(Request(prompt=p, max_new_tokens=5))
+        return [tuple(r.generated)
+                for r in sorted(eng.run_to_completion(), key=lambda r: r.id)]
+
+    ref = transcripts(qm)
+    out = transcripts(qms, mesh=mesh)
+    assert ref == out
+    # int8 KV cache under the mesh (head-sharded cache leaves)
+    outq = transcripts(qms, mesh=mesh, quantized_cache=True)
+    assert len(outq) == 6 and all(len(t) == 5 for t in outq)

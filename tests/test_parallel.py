@@ -108,3 +108,65 @@ def test_quantized_sharded_model_spec():
     assert blk.attn.wqkv_q.wq.c == P(None, "model")   # scales follow columns
     assert blk.attn.w_o.wq.q == P("model", None)
     assert blk.attn.w_o.wq.c == P()                   # replicated for row-sharded
+
+
+# ---------------------------------------------------------------------------
+# integrated multi-chip int8 path: TP-marked QuantizedLinear model
+# (VERDICT r1 #1 / BASELINE config 5 / SURVEY §7 M5)
+# ---------------------------------------------------------------------------
+
+def _tp_gpt(mesh):
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    from qgemm_tpu.parallel.sharding import shard_quantized_model
+    cfg = GPTConfig(vocab_size=64, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=2, max_seq_len=64)
+    qm = GPT.init(cfg, key=jax.random.PRNGKey(0)).quantize()
+    return qm, shard_quantized_model(qm, mesh)
+
+
+def test_tp_quantized_gpt_forward_parity():
+    """A quantized GPT sharded over a (data, model) mesh routes every GEMM
+    through the shard_map int8 kernels and matches the single-device
+    quantized model."""
+    mesh = make_mesh((2, 4), ("data", "model"))
+    qm, qms = _tp_gpt(mesh)
+    # every projection in the sharded model carries a TP mark
+    blk = qms.blocks[0]
+    assert blk.attn.wqkv_q.tp_mode == "column"
+    assert not blk.attn.wqkv_q.gather_output
+    assert blk.attn.w_o.tp_mode == "row"
+    assert blk.ffn.up.tp_mode == "column" and blk.ffn.down.tp_mode == "row"
+    assert qms.lm_head.tp_mode == "column" and qms.lm_head.gather_output
+    # and the int8 shards are actually placed on the model axis
+    assert "model" in str(blk.attn.wqkv_q.wq.q.sharding.spec)
+
+    toks = jnp.asarray(RNG.integers(0, 64, size=(2, 12)), jnp.int32)
+    ref = jax.jit(lambda m, t: m.forward(t))(qm, toks)
+    out = jax.jit(lambda m, t: m.forward(t))(qms, toks)
+    assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_tp_quantized_gpt_generate_parity():
+    mesh = make_mesh((2, 4), ("data", "model"))
+    qm, qms = _tp_gpt(mesh)
+    prompt = jnp.asarray(RNG.integers(0, 64, size=(2, 6)), jnp.int32)
+    g_ref = jax.jit(lambda m, p: m.generate(p, 5))(qm, prompt)
+    g_out = jax.jit(lambda m, p: m.generate(p, 5))(qms, prompt)
+    assert bool(jnp.all(g_ref == g_out))
+
+
+def test_tp_quantized_outlier_forward_runs():
+    """Outlier decomposition composes with TP: the inlier int8 matmul rides
+    shard_map, the bf16 outlier correction stays at the GSPMD level."""
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    from qgemm_tpu.parallel.sharding import shard_quantized_model
+    mesh = make_mesh((1, 8), ("data", "model"))
+    cfg = GPTConfig(vocab_size=64, d_model=32, n_heads=8, d_ff=64,
+                    n_layers=1, max_seq_len=32)
+    qm = GPT.init(cfg, key=jax.random.PRNGKey(1)).quantize(
+        outlier_threshold=2.0, outlier_capacity=4)
+    qms = shard_quantized_model(qm, mesh)
+    toks = jnp.asarray(RNG.integers(0, 64, size=(1, 8)), jnp.int32)
+    ref = jax.jit(lambda m, t: m.forward(t))(qm, toks)
+    out = jax.jit(lambda m, t: m.forward(t))(qms, toks)
+    assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
