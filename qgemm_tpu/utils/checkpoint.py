@@ -4,9 +4,18 @@ Greenfield aux subsystem (SURVEY.md §5: the reference has NO serialization —
 weights are random per run, src/transformer.cu:34-35). Pytree-path-keyed
 ``.npz`` checkpoints: framework-agnostic, human-inspectable, works for fp32
 training state and int8 serving artifacts alike (quantized weights + scales
-round-trip bit-exactly). For multi-host sharded state, arrays are gathered
-to host before save and re-sharded by the caller after restore (orbax is the
-heavier alternative when per-shard async checkpointing is needed).
+round-trip bit-exactly).
+
+Two flavors:
+  * ``save_checkpoint``/``load_checkpoint`` — single-file, host-gathered;
+    right for single-chip models and small training state.
+  * ``save_checkpoint_sharded``/``load_checkpoint_sharded`` — per-shard:
+    every process writes ONLY its addressable shards (one npz per process,
+    no host gather, no replicated-copy duplication), and restore rebuilds
+    each leaf with ``jax.make_array_from_callback`` against the TEMPLATE's
+    sharding — a tensor-sharded 6.7B model round-trips without any chip
+    ever holding a full copy. Same-topology reload is zero-copy per shard;
+    a topology change re-slices through the per-shard index.
 """
 
 from __future__ import annotations
@@ -54,6 +63,76 @@ def save_checkpoint(path: str, tree) -> None:
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)
     os.replace(tmp, path)
+
+
+def _shard_key(path_key: str, index) -> str:
+    """Key one shard by its global start offsets, e.g. 'blocks/0/w@0,512'."""
+    starts = ",".join(str(s.start or 0) for s in index)
+    return f"{path_key}@{starts}"
+
+
+def save_checkpoint_sharded(dirpath: str, tree) -> None:
+    """Per-shard save: this process writes its addressable shards only (one
+    replica per distinct global index — replicated leaves are written once,
+    sharded leaves once per shard) to ``dirpath/proc{i}.npz``. No host
+    gather: peak host memory is one shard."""
+    os.makedirs(dirpath, exist_ok=True)
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    arrays = {}
+    for p, leaf in flat:
+        key = _path_key(p)
+        if not hasattr(leaf, "addressable_shards"):
+            leaf = jax.numpy.asarray(leaf)
+        for sh in leaf.addressable_shards:
+            skey = _shard_key(key, sh.index)
+            if skey in arrays:
+                continue  # replicated copy
+            arr = np.asarray(sh.data)
+            if arr.dtype.kind == "V":
+                arrays[skey + _DTYPE_TAG] = np.array(str(arr.dtype))
+                arr = arr.view(np.dtype(f"u{arr.dtype.itemsize}"))
+            arrays[skey] = arr
+    path = os.path.join(dirpath, f"proc{jax.process_index()}.npz")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def load_checkpoint_sharded(dirpath: str, template):
+    """Restore into ``template``'s shardings (e.g. the output of
+    ``shard_quantized_model`` on a freshly-initialized model): each leaf is
+    rebuilt with ``jax.make_array_from_callback``, so every device reads
+    exactly its shard — no full-array host materialization. Requires the
+    template's shard boundaries to match the checkpoint's (same mesh
+    topology); use the host-gathered flavor to reshard across topologies."""
+    path = os.path.join(dirpath, f"proc{jax.process_index()}.npz")
+    with np.load(path) as data:
+        flat, _ = jax.tree_util.tree_flatten_with_path(template)
+        leaves = []
+        for p, leaf in flat:
+            key = _path_key(p)
+
+            def read(index, key=key):
+                skey = _shard_key(key, index)
+                if skey not in data:
+                    raise KeyError(
+                        f"{dirpath}: no shard {skey} — checkpoint topology "
+                        "differs from template; reshard via load_checkpoint")
+                arr = data[skey]
+                if skey + _DTYPE_TAG in data:
+                    arr = arr.view(np.dtype(str(data[skey + _DTYPE_TAG])))
+                return arr
+
+            if hasattr(leaf, "sharding") and hasattr(leaf, "shape"):
+                leaves.append(jax.make_array_from_callback(
+                    leaf.shape, leaf.sharding, read))
+            else:
+                full = (slice(0, None),) * getattr(leaf, "ndim", 0)
+                leaves.append(jax.numpy.asarray(read(full)))
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template),
+        leaves)
 
 
 def load_checkpoint(path: str, template):

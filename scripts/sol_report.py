@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Per-kernel speed-of-light report on the real chip (SURVEY §5 tracing /
+§7 hard-part 6: profile-based performance verification, not hope).
+
+For every hot kernel: measure (utils/profiling.bench_ms — in-jit scan,
+marginal cost, safe on the tunnel), compute the analytic roofline from the
+chip's MXU rate and HBM bandwidth, and report achieved/SOL. Writes SOL.md
+(checked in) and prints one JSON line.
+
+Roofline model (TPU v5e / "lite" per public specs):
+  MXU: 394 TOPS int8, 197 TFLOP/s bf16 (f32 = bf16/6, six-pass emulation)
+  HBM: 819 GB/s
+SOL time for a kernel = max(flops/mxu_rate, bytes/hbm_bw).
+
+Usage: python scripts/sol_report.py [--trace /tmp/trace]
+"""
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+from qgemm_tpu.utils.profiling import bench_ms  # noqa: E402
+
+# TPU v5e public specs
+INT8_TOPS = 394e12
+BF16_FLOPS = 197e12
+F32_FLOPS = BF16_FLOPS / 6          # HIGHEST = six bf16 passes
+HBM_GBPS = 819e9
+
+
+def sol_ms(flops, bytes_, mxu=BF16_FLOPS):
+    return max(flops / mxu, bytes_ / HBM_GBPS) * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", default="", help="also capture a profiler trace here")
+    ap.add_argument("--iters", type=int, default=1000)
+    ap.add_argument("--out", default="SOL.md")
+    args = ap.parse_args()
+    assert jax.default_backend() != "cpu", "run on the TPU"
+
+    rows = []
+
+    def row(name, t_ms, flops, bytes_, mxu, note=""):
+        sol = sol_ms(flops, bytes_, mxu)
+        bound = "MXU" if flops / mxu > bytes_ / HBM_GBPS else "HBM"
+        rows.append({
+            "kernel": name, "measured_ms": round(t_ms, 4),
+            "sol_ms": round(sol, 4), "pct_sol": round(100 * sol / t_ms, 1),
+            "bound": bound, "note": note,
+        })
+        print(f"{name:42s} {t_ms:8.4f} ms  SOL {sol:7.4f} ms "
+              f"({100 * sol / t_ms:5.1f}% of {bound} roofline) {note}",
+              file=sys.stderr)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    bench = lambda f, *a: bench_ms(f, *a, iters=args.iters,
+                                   base=max(1, args.iters // 15))
+
+    # ---- quantized GEMM 2048^3 (the headline) -----------------------------
+    from qgemm_tpu.ops.pallas.quantized_matmul import (
+        quantized_matmul_pallas, quantized_matmul_prequant_pallas)
+    from qgemm_tpu.ops.quantize import quantize_weights
+    m = n = k = 2048
+    x = jax.random.uniform(k1, (m, k), jnp.float32, minval=-1, maxval=1)
+    w = jax.random.uniform(k2, (k, n), jnp.float32, minval=-1, maxval=1)
+    wq = quantize_weights(w)
+    flops = 2 * m * n * k
+    # prequant: read X f32 once, W int8 once, write O f32 once
+    row("int8 prequant qmm 2048^3",
+        bench(lambda a: quantized_matmul_prequant_pallas(a, wq.q, wq.c), x),
+        flops, m * k * 4 + k * n + m * n * 4, INT8_TOPS)
+    # dynamic adds one f32 read + int8 write of W (XLA fused col-quantize)
+    row("int8 dynamic qmm 2048^3",
+        bench(quantized_matmul_pallas, x, w),
+        flops, m * k * 4 + k * n * 5 + m * n * 4, INT8_TOPS)
+    row("bf16 dot 2048^3 (baseline)",
+        bench(lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32),
+              x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)),
+        flops, m * k * 2 + k * n * 2 + m * n * 4, BF16_FLOPS)
+
+    # ---- decode attention over int8 KV cache (HBM-bound) ------------------
+    from qgemm_tpu.ops.kv_cache import quantize_kv
+    from qgemm_tpu.ops.pallas.decode_attention import decode_attention
+    b, h, s, d = 8, 16, 2048, 128
+    kc_ = jax.random.normal(k1, (b, h, s, d), jnp.float32)
+    vc_ = jax.random.normal(k2, (b, h, s, d), jnp.float32)
+    kq, kcs = quantize_kv(kc_)
+    vq, vcs = quantize_kv(vc_)
+    q1 = jax.random.normal(k1, (b, h, 1, d), jnp.float32)
+    lengths = jnp.full((b,), s, jnp.int32)
+    cache_bytes = 2 * b * h * s * d + 2 * b * h * s * 4  # int8 K/V + f32 scales
+    row("decode attention int8 cache 8x16x2048x128",
+        bench(lambda q: decode_attention(q, kq, vq, lengths, kc=kcs, vc=vcs), q1),
+        4 * b * h * s * d, cache_bytes, BF16_FLOPS)
+
+    # ---- flash attention fwd + bwd at S=4k (training path) ----------------
+    from qgemm_tpu.ops.pallas.flash_attention import flash_attention
+    B, H, S, D = 1, 4, 4096, 128
+    qf = jax.random.normal(k1, (B, H, S, D), jnp.bfloat16)
+    kf = jax.random.normal(k2, (B, H, S, D), jnp.bfloat16)
+    vf = jax.random.normal(k1, (B, H, S, D), jnp.bfloat16)
+    fl_flops = 4 * B * H * S * S * D / 2          # causal halves the work
+    io = 4 * B * H * S * D * 2
+    row("flash attention fwd S=4k causal",
+        bench(lambda q, k_, v: flash_attention(q, k_, v, True), qf, kf, vf),
+        fl_flops, io, BF16_FLOPS)
+    grad = jax.jit(jax.grad(
+        lambda q, k_, v: jnp.sum(flash_attention(q, k_, v, True)
+                                 .astype(jnp.float32) ** 2), argnums=(0, 1, 2)))
+    # bwd ~ 2.5x fwd flops (dq, dkv kernels re-do S@K plus three more dots)
+    row("flash attention fwd+bwd S=4k causal",
+        bench(lambda q, k_, v: grad(q, k_, v), qf, kf, vf),
+        3.5 * fl_flops, 3 * io, BF16_FLOPS)
+
+    # ---- fused layernorm+residual / softmax (HBM-bound elementwise) -------
+    from qgemm_tpu.ops.pallas.layernorm import layernorm_residual
+    from qgemm_tpu.ops.pallas.softmax import softmax_pallas
+    xs = jax.random.normal(k1, (8192, 4096), jnp.float32)
+    rs = jax.random.normal(k2, (8192, 4096), jnp.float32)
+    nbytes = xs.size * 4
+    row("fused layernorm+residual 8192x4096",
+        bench(layernorm_residual, xs, rs), 10 * xs.size, 3 * nbytes,
+        BF16_FLOPS)
+    row("softmax 8192x4096", bench(softmax_pallas, xs),
+        8 * xs.size, 2 * nbytes, BF16_FLOPS)
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            for _ in range(3):
+                quantized_matmul_prequant_pallas(x, wq.q, wq.c).block_until_ready()
+        print(f"trace written to {args.trace}", file=sys.stderr)
+
+    with open(args.out, "w") as f:
+        f.write("# Speed-of-light report (TPU v5e, one chip)\n\n"
+                "Generated by `python scripts/sol_report.py` — measured with "
+                "the in-jit marginal-cost harness (`utils/profiling.bench_ms`)"
+                " against the analytic roofline `max(flops/MXU, bytes/HBM)` "
+                "(v5e: 394 int8 TOPS, 197 bf16 TFLOP/s, 819 GB/s HBM).\n\n"
+                "| Kernel | measured | SOL | % of SOL | bound |\n"
+                "|---|---|---|---|---|\n")
+        for r in rows:
+            f.write(f"| {r['kernel']} | {r['measured_ms']} ms | "
+                    f"{r['sol_ms']} ms | {r['pct_sol']}% | {r['bound']} |\n")
+        f.write("\n`% of SOL` above 100 means the analytic byte/flop model "
+                "is conservative for that kernel (e.g. epilogue fusion "
+                "avoiding a modeled write).\n")
+    print(json.dumps({"metric": "min_pct_sol_across_kernels",
+                      "value": min(r["pct_sol"] for r in rows),
+                      "unit": "%", "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -170,3 +170,37 @@ def test_tp_quantized_outlier_forward_runs():
     ref = jax.jit(lambda m, t: m.forward(t))(qm, toks)
     out = jax.jit(lambda m, t: m.forward(t))(qms, toks)
     assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_tp_forward_hlo_collectives_are_exactly_as_designed():
+    """Profile-based assertion (SURVEY §7 hard-part 6): the compiled HLO of
+    the TP int8 forward contains EXACTLY the designed collectives and
+    nothing more — per block: one [M,1] pmax (global activation absmax) +
+    one psum for attention W_O, the same pair for FFN-down (4 all-reduces
+    per block), plus one lm_head output all-gather. Any GSPMD resharding
+    regression (e.g. the Megatron pairing breaking and activations
+    bouncing through extra all-gathers) fails this test."""
+    import collections
+    import re
+
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    from qgemm_tpu.parallel.sharding import shard_quantized_model
+
+    mesh = make_mesh((1, 8), ("data", "model"))
+    n_layers = 2
+    cfg = GPTConfig(vocab_size=64, d_model=32, n_heads=8, d_ff=64,
+                    n_layers=n_layers, max_seq_len=32)
+    qms = shard_quantized_model(
+        GPT.init(cfg, key=jax.random.PRNGKey(0)).quantize(), mesh)
+    toks = jnp.zeros((1, 8), jnp.int32)
+    txt = jax.jit(lambda m, t: m.forward(t)).lower(qms, toks).compile().as_text()
+
+    ops = collections.Counter()
+    for name in ("all-reduce", "all-gather", "reduce-scatter", "all-to-all",
+                 "collective-permute"):
+        ops[name] = (len(re.findall(rf"= \S+ {name}\(", txt))
+                     + len(re.findall(rf"= \S+ {name}-start\(", txt)))
+    assert ops["all-reduce"] == 4 * n_layers, ops
+    assert ops["all-gather"] == 1, ops
+    assert ops["reduce-scatter"] == 0 and ops["all-to-all"] == 0 \
+        and ops["collective-permute"] == 0, ops
