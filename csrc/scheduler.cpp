@@ -186,6 +186,32 @@ int64_t qg_sched_steps(void *h) {
   return s->steps;
 }
 
+// Cancel a request by id. Waiting requests are dropped; an active request
+// frees its slot immediately (its partial transcript moves to finished so
+// the caller can still pop it). Returns 1 (cancelled from waiting),
+// 2 (cancelled from a slot, *slot_out set), 0 (unknown/already finished).
+int32_t qg_sched_cancel(void *h, int64_t req_id, int32_t *slot_out) {
+  auto *s = static_cast<Scheduler *>(h);
+  std::lock_guard<std::mutex> g(s->mu);
+  for (auto it = s->waiting.begin(); it != s->waiting.end(); ++it) {
+    if (it->id == req_id) {
+      s->waiting.erase(it);
+      return 1;
+    }
+  }
+  for (auto &kv : s->slot_req) {
+    if (kv.second.id == req_id) {
+      int32_t slot = kv.first;
+      s->finished.push_back(std::move(kv.second));
+      s->slot_req.erase(slot);
+      s->active[slot] = 0;
+      if (slot_out) *slot_out = slot;
+      return 2;
+    }
+  }
+  return 0;
+}
+
 // Pop the oldest finished request: fills req_id and copies its generated
 // tokens into out (cap elements). Returns #tokens, -1 if none finished,
 // -2 if cap too small (request stays queued).

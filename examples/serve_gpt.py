@@ -67,9 +67,13 @@ def main():
 
     fin = engine.finished
     n_toks = sum(len(r.generated) for r in fin)
+    st = engine.stats
     print(f"served {len(fin)} requests, {n_toks} tokens in {dt:.2f}s "
           f"({n_toks/dt:,.0f} tok/s host-stepped), {engine.steps} steps, "
           f"mean occupancy {np.mean(occupancy):.2f}/{args.slots}")
+    print(f"engine stats: {st['tokens_generated']} tokens, "
+          f"{st['tokens_per_s']:,.0f} tok/s engine-counted "
+          f"(wall {st['wall_s']}s)")
     for r in fin[:4]:
         print(f"  req {r.id}: prompt[{len(r.prompt)}] -> "
               f"{len(r.generated)} tokens: {r.generated[:8]}...")

@@ -251,10 +251,15 @@ class Transformer:
         logits = self.lm_head(self.ln_dec(x))  # [B, 1, vocab]
         return jnp.argmax(logits[:, -1, :], axis=-1)[:, None], new_caches
 
-    def generate(self, src_tokens, max_new_tokens: int, bos_token: int = 1):
+    def generate(self, src_tokens, max_new_tokens: int, bos_token: int = 1,
+                 eos_token: int | None = None):
         """Greedy KV-cache generation under one jit-able scan.
 
         src_tokens [B, S_src] -> tokens [B, max_new_tokens].
+
+        ``eos_token``: once a sequence emits it, every later position is
+        pinned to eos (jit-friendly: the scan shape is static, finished
+        rows just stop changing — the standard padded-decode contract).
         """
         batch = src_tokens.shape[0]
         enc_out = self.encode(src_tokens)
@@ -262,12 +267,16 @@ class Transformer:
                    for blk in self.dec_blocks]
         caches = self.init_cache(batch, max_new_tokens)
         tok0 = jnp.full((batch, 1), bos_token, jnp.int32)
+        done0 = jnp.zeros((batch,), bool)
 
         def step(carry, t):
-            tok, caches = carry
+            tok, caches, done = carry
             nxt, caches = self.decode_step(tok, t, enc_kvs, caches)
-            return (nxt, caches), nxt[:, 0]
+            if eos_token is not None:
+                nxt = jnp.where(done[:, None], jnp.int32(eos_token), nxt)
+                done = jnp.logical_or(done, nxt[:, 0] == eos_token)
+            return (nxt, caches, done), nxt[:, 0]
 
-        (_, _), toks = jax.lax.scan(step, (tok0, caches),
-                                    jnp.arange(max_new_tokens))
+        (_, _, _), toks = jax.lax.scan(step, (tok0, caches, done0),
+                                       jnp.arange(max_new_tokens))
         return toks.T  # [B, max_new_tokens]

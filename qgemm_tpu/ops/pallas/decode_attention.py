@@ -104,6 +104,18 @@ def decode_attention(q, k_cache, v_cache, lengths, kc=None, vc=None,
 
     Returns [B, H, 1, D] in q's dtype.
     """
+    from qgemm_tpu.ops.validation import check, check_rank
+    for name, a in (("q", q), ("k_cache", k_cache), ("v_cache", v_cache)):
+        check_rank(name, a, 4)
+    check(q.shape[2] == 1, f"q: decode step expects Sq == 1, got {q.shape}")
+    check(k_cache.shape == v_cache.shape,
+          f"k_cache {k_cache.shape} != v_cache {v_cache.shape}")
+    check(q.shape[0] == k_cache.shape[0] and q.shape[1] == k_cache.shape[1]
+          and q.shape[3] == k_cache.shape[3],
+          f"q {q.shape} incompatible with cache {k_cache.shape}")
+    check(lengths.shape == (q.shape[0],),
+          f"lengths: expected shape ({q.shape[0]},), got {lengths.shape}")
+    check((kc is None) == (vc is None), "pass both kc and vc or neither")
     b, h, _, d = q.shape
     s = k_cache.shape[2]
     quantized = kc is not None

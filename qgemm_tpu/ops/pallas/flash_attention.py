@@ -126,6 +126,8 @@ def flash_attention(q, k, v, causal: bool = False):
     block, so neither pass ever materializes the S x S score matrix in HBM
     — memory stays O(S*d) for long-context TRAINING too (SURVEY §7 M4).
     """
+    from qgemm_tpu.ops.validation import check_attention_4d
+    check_attention_4d(q, k, v)
     out, _ = _flash_attention_fwd_impl(q, k, v, causal)
     return out
 

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from qgemm_tpu.ops.pallas.quantized_matmul import _compiler_params
+
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
@@ -92,6 +94,7 @@ def layernorm_residual_pallas(x, residual=None, gamma=None, beta=None,
         out_specs=pl.BlockSpec((bm, npad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mpad, npad), x.dtype),
+        compiler_params=_compiler_params(("parallel",)),
         interpret=_interpret(),
     )(x2, residual, g2, b2)
     return out[:m, :n].reshape(orig_shape)

@@ -117,6 +117,10 @@ def quantized_matmul_xla(x, w, rounding: str = "nearest", qrange: float = QRANGE
 def quantized_matmul(x, w, rounding: str = "nearest", backend: str = "auto"):
     """Dynamic quantized matmul: quantizes BOTH operands on the fly —
     op_quantized_mm parity (op_mm.cuh:69-101). x [m,k] f32/bf16, w [k,n]."""
+    from qgemm_tpu.ops.validation import check_float, check_matmul_2d
+    check_matmul_2d(x, w)
+    check_float("x", x)
+    check_float("w", w)
     if _use_pallas(backend):
         from qgemm_tpu.ops.pallas.quantized_matmul import quantized_matmul_pallas
         return quantized_matmul_pallas(x, w, rounding=rounding)
@@ -126,6 +130,14 @@ def quantized_matmul(x, w, rounding: str = "nearest", backend: str = "auto"):
 def quantized_matmul_prequant(x, wq: QuantizedWeight, backend: str = "auto",
                               rounding: str = "nearest"):
     """Serving path: weights already int8, activations quantized per call."""
+    from qgemm_tpu.ops.validation import check, check_dtype, check_float, \
+        check_matmul_2d
+    check_matmul_2d(x, wq.q, "x", "wq.q")
+    check_float("x", x)
+    check_dtype("wq.q", wq.q, "int8")
+    check(wq.c.shape == (1, wq.q.shape[1]),
+          f"wq.c: expected per-column scales (1, {wq.q.shape[1]}), "
+          f"got {wq.c.shape}")
     if _use_pallas(backend):
         from qgemm_tpu.ops.pallas.quantized_matmul import (
             quantized_matmul_prequant_pallas,

@@ -3,12 +3,16 @@
 Beyond-reference serving capability (the reference has no sampling loop at
 all — its transformer demo stops before the logits head,
 src/transformer.cu:182 "TODO:: MLP & op_softmax"). Everything is static
-shape: top-k uses jax.lax.top_k with a static k, top-p sorts once and masks
-by cumulative probability, and greedy is the temperature=0 limit.
+shape, and ALL knobs are per-slot DATA (continuous batching: one jitted
+sampling call serves slots with different settings, zero recompiles):
+``temperature`` / ``top_p`` / ``top_k`` may each be a scalar or a [B]
+array. top-k is dynamic by ranking against one descending sort — the same
+sort nucleus filtering needs, so per-slot k costs nothing extra; sampling
+happens in sorted space and maps back through the sort permutation.
 
-Per-slot vectorization for continuous batching: ``temperature`` / ``top_p``
-may be [B] arrays (one value per slot) while ``top_k`` is a static int
-(shape-affecting; the engine buckets by it).
+Filter semantics match the standard serving pipeline: top-k first, then
+top-p on the renormalized survivor distribution, then temperature; greedy
+is the temperature=0 limit.
 """
 
 from __future__ import annotations
@@ -17,35 +21,40 @@ import jax
 import jax.numpy as jnp
 
 
-def sample_logits(logits, key, temperature=1.0, top_k: int = 0,
-                  top_p=1.0):
+def sample_logits(logits, key, temperature=1.0, top_k=0, top_p=1.0):
     """logits [B, V] -> tokens [B] int32.
 
     temperature: scalar or [B]; 0 (or <=1e-6) means greedy for that slot.
-    top_k: static int; 0 disables. top_p: scalar or [B]; 1 disables.
+    top_k: scalar or [B] int (dynamic, per-slot); 0 disables.
+    top_p: scalar or [B]; 1 disables.
     """
     b, v = logits.shape
     lg = logits.astype(jnp.float32)
     temp = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (b,))
     topp = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (b,))
+    topk = jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (b,))
 
     greedy_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
 
-    if top_k and top_k < v:
-        kth = jax.lax.top_k(lg, top_k)[0][:, -1:]          # [B, 1]
-        lg = jnp.where(lg < kth, -jnp.inf, lg)
+    # one descending sort serves both filters
+    sort_idx = jnp.argsort(-lg, axis=-1)                   # [B, V]
+    sorted_lg = jnp.take_along_axis(lg, sort_idx, axis=-1)
+    rank = jax.lax.broadcasted_iota(jnp.int32, (b, v), 1)
 
-    # nucleus: keep the smallest prefix of the sorted distribution whose
-    # mass reaches top_p (the first token is always kept)
-    scaled = lg / jnp.maximum(temp, 1e-6)[:, None]
-    probs = jax.nn.softmax(scaled, axis=-1)
-    sort_idx = jnp.argsort(-probs, axis=-1)
-    sorted_probs = jnp.take_along_axis(probs, sort_idx, axis=-1)
-    csum = jnp.cumsum(sorted_probs, axis=-1)
-    keep_sorted = (csum - sorted_probs) < topp[:, None]    # prefix rule
-    keep = jnp.zeros_like(keep_sorted).at[
-        jnp.arange(b)[:, None], sort_idx].set(keep_sorted)
+    # top-k: keep ranks < k (k == 0 -> keep everything)
+    keep = jnp.where(topk[:, None] > 0, rank < topk[:, None], True)
+    scaled = sorted_lg / jnp.maximum(temp, 1e-6)[:, None]
     scaled = jnp.where(keep, scaled, -jnp.inf)
 
-    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    # nucleus on the survivors: keep the smallest prefix of the sorted
+    # distribution whose mass reaches top_p (the first token always kept)
+    probs = jax.nn.softmax(scaled, axis=-1)
+    csum = jnp.cumsum(probs, axis=-1)
+    keep = jnp.logical_and(keep, (csum - probs) < topp[:, None])
+    scaled = jnp.where(keep, scaled, -jnp.inf)
+
+    # sample a RANK, then map back through the sort permutation
+    choice = jax.random.categorical(key, scaled, axis=-1)  # [B]
+    sampled = jnp.take_along_axis(
+        sort_idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
     return jnp.where(temp <= 1e-6, greedy_tok, sampled)

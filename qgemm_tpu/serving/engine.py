@@ -35,13 +35,17 @@ class Request:
     prompt: List[int]
     max_new_tokens: int = 32
     eos_token: Optional[int] = None
-    # sampling (ops/sampling.py): temperature 0 = greedy; top_p 1 = off.
-    # top_k is engine-wide (static shape), not per-request.
+    # sampling (ops/sampling.py): temperature 0 = greedy; top_p 1 = off;
+    # top_k 0 = engine default. All three are per-request DATA (one jitted
+    # decode serves mixed settings without recompiling).
     temperature: float = 0.0
     top_p: float = 1.0
+    top_k: int = 0
     id: int = field(default_factory=itertools.count().__next__)
     generated: List[int] = field(default_factory=list)
     done: bool = False
+    cancelled: bool = False
+    error: Optional[str] = None
 
 
 class _PyBookkeeper:
@@ -104,6 +108,21 @@ class _PyBookkeeper:
     def active_mask(self) -> np.ndarray:
         return self.active.copy()
 
+    def cancel(self, req_id: int):
+        """-> ("waiting", Request) | ("active", slot) | None. An active
+        cancel frees the slot immediately and moves the partial transcript
+        to finished."""
+        for i, r in enumerate(self.waiting):
+            if r.id == req_id:
+                return "waiting", self.waiting.pop(i)
+        for slot, r in list(self.slot_req.items()):
+            if r.id == req_id:
+                self.active[slot] = False
+                del self.slot_req[slot]
+                self.finished.append(r)
+                return "active", slot
+        return None
+
     @property
     def num_waiting(self) -> int:
         return len(self.waiting)
@@ -143,6 +162,14 @@ class _NativeBookkeeper:
 
     def record_step(self, tokens: np.ndarray):
         self._sched.record_step(tokens)
+
+    def cancel(self, req_id: int):
+        res = self._sched.cancel(req_id)
+        if res is None:
+            return None
+        if res == -1:
+            return "waiting", self._by_id.pop(req_id)
+        return "active", res
 
     def active_mask(self) -> np.ndarray:
         return self._sched.active_mask()
@@ -212,21 +239,24 @@ class ContinuousBatchingEngine:
         self.cur_tokens = jnp.zeros((max_slots, 1), jnp.int32)
         self.temps = jnp.zeros((max_slots,), jnp.float32)   # 0 = greedy
         self.topps = jnp.ones((max_slots,), jnp.float32)
+        self.topks = jnp.zeros((max_slots,), jnp.int32)     # 0 = off
         self.finished: List[Request] = []
+        self.tokens_generated = 0
+        self._t_start: Optional[float] = None
 
         self._decode = jax.jit(self._decode_impl)
         self._prefill = jax.jit(self._prefill_impl, static_argnames=("plen",))
 
     # ------------------------------------------------------------- jit fns
-    def _decode_impl(self, model, tok, pos, caches, key, temps, topps):
+    def _decode_impl(self, model, tok, pos, caches, key, temps, topps, topks):
         from qgemm_tpu.ops.sampling import sample_logits
         logits, caches = model.decode_step(tok, pos, caches)
         nxt = sample_logits(logits, key, temperature=temps,
-                            top_k=self.top_k, top_p=topps)
+                            top_k=topks, top_p=topps)
         return nxt, caches
 
     def _prefill_impl(self, model, prompt, plen_true, caches, slot,
-                      key, temp, topp, plen):
+                      key, temp, topp, topk, plen):
         """Prefill one slot: run the (bucket-padded) prompt [1, plen] through
         the model with a fresh cache region, then write the slot's K/V rows
         into the shared cache with ONE ``dynamic_update_slice`` per leaf at
@@ -254,7 +284,7 @@ class ContinuousBatchingEngine:
         from qgemm_tpu.ops.sampling import sample_logits
         last_logits = jnp.take(logits[0], plen_true - 1, axis=0)
         first_tok = sample_logits(last_logits[None], key, temperature=temp,
-                                  top_k=self.top_k, top_p=topp)[0]
+                                  top_k=topk, top_p=topp)[0]
         return first_tok, new_caches
 
     # ---------------------------------------------------------------- admin
@@ -274,24 +304,73 @@ class ContinuousBatchingEngine:
             prompt = jnp.asarray(
                 np.pad(np.asarray(req.prompt, np.int32), (0, bucket - plen))[None, :])
             self._key, sub = jax.random.split(self._key)
-            first_tok, self.caches = self._prefill(
-                self.model, prompt, jnp.int32(plen), self.caches,
-                jnp.int32(slot), sub, jnp.float32(req.temperature),
-                jnp.float32(req.top_p), plen=bucket)
+            eff_topk = req.top_k or self.top_k
+            try:
+                first_tok, self.caches = self._prefill(
+                    self.model, prompt, jnp.int32(plen), self.caches,
+                    jnp.int32(slot), sub, jnp.float32(req.temperature),
+                    jnp.float32(req.top_p), jnp.int32(eff_topk), plen=bucket)
+            except Exception as e:  # noqa: BLE001 — per-request isolation:
+                # a failing prefill (bad values, compile error for a new
+                # bucket, transient backend fault) must not kill the batch
+                req.error = f"{type(e).__name__}: {e}"
+                req.done = True
+                self.book.cancel(req.id)       # frees the slot
+                for r in self.book.drain_finished():
+                    if r.id != req.id:
+                        self.finished.append(r)
+                self.finished.append(req)
+                continue
             # position = true prompt length (next write goes there)
             self.positions = self.positions.at[slot].set(plen)
             self.cur_tokens = self.cur_tokens.at[slot, 0].set(first_tok)
             self.temps = self.temps.at[slot].set(req.temperature)
             self.topps = self.topps.at[slot].set(req.top_p)
+            self.topks = self.topks.at[slot].set(eff_topk)
+            self.tokens_generated += 1
             self.book.admitted(slot, int(first_tok))
+
+    def cancel(self, req_id: int) -> bool:
+        """Cancel a request by id: a waiting request is dropped; an active
+        one frees its slot immediately (its partial transcript is kept).
+        Returns False when the id is unknown or already finished."""
+        res = self.book.cancel(req_id)
+        if res is None:
+            return False
+        kind, info = res
+        if kind == "waiting":
+            req = info
+            req.done = True
+            req.cancelled = True
+            self.finished.append(req)
+        else:
+            for r in self.book.drain_finished():
+                r.done = True
+                if r.id == req_id:
+                    r.cancelled = True
+                self.finished.append(r)
+        return True
 
     # ----------------------------------------------------------------- run
     @property
     def steps(self) -> int:
         return self.book.steps
 
+    @property
+    def stats(self) -> Dict[str, float]:
+        """Engine-level throughput counters (BASELINE north star metric)."""
+        import time
+        wall = (time.perf_counter() - self._t_start) if self._t_start else 0.0
+        return {"tokens_generated": self.tokens_generated,
+                "steps": int(self.steps), "wall_s": round(wall, 3),
+                "tokens_per_s": round(self.tokens_generated / wall, 2)
+                if wall else 0.0}
+
     def step(self):
         """Admit waiting requests, run one decode step for all slots."""
+        import time
+        if self._t_start is None:
+            self._t_start = time.perf_counter()
         self._admit()
         active = self.book.active_mask()
         if not active.any():
@@ -299,10 +378,12 @@ class ContinuousBatchingEngine:
         self._key, sub = jax.random.split(self._key)
         nxt, self.caches = self._decode(self.model, self.cur_tokens,
                                         self.positions, self.caches,
-                                        sub, self.temps, self.topps)
+                                        sub, self.temps, self.topps,
+                                        self.topks)
         self.positions = self.positions + jnp.asarray(active, jnp.int32)
         self.cur_tokens = nxt[:, None]
         self.book.record_step(np.asarray(nxt))
+        self.tokens_generated += int(active.sum())
         self.finished.extend(self.book.drain_finished())
         return True
 

@@ -52,6 +52,8 @@ def _load():
     lib.qg_sched_steps.restype = i64
     lib.qg_sched_pop_finished.argtypes = [c.c_void_p, i64p, i32p, i32]
     lib.qg_sched_pop_finished.restype = i32
+    lib.qg_sched_cancel.argtypes = [c.c_void_p, i64, i32p]
+    lib.qg_sched_cancel.restype = i32
     _lib = lib
     return lib
 
@@ -156,3 +158,13 @@ class NativeScheduler:
         if n < 0:
             return None
         return rid.value, out[:n]
+
+    def cancel(self, req_id: int):
+        """-> None (unknown/finished), or the freed slot id / -1 if the
+        request was still waiting. A cancelled active request's partial
+        transcript shows up in pop_finished."""
+        slot = ctypes.c_int32(-1)
+        rc = self._lib.qg_sched_cancel(self._h, req_id, ctypes.byref(slot))
+        if rc == 0:
+            return None
+        return slot.value if rc == 2 else -1

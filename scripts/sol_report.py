@@ -120,13 +120,13 @@ def main():
         3.5 * fl_flops, 3 * io, BF16_FLOPS)
 
     # ---- fused layernorm+residual / softmax (HBM-bound elementwise) -------
-    from qgemm_tpu.ops.pallas.layernorm import layernorm_residual
+    from qgemm_tpu.ops.pallas.layernorm import layernorm_residual_pallas
     from qgemm_tpu.ops.pallas.softmax import softmax_pallas
     xs = jax.random.normal(k1, (8192, 4096), jnp.float32)
     rs = jax.random.normal(k2, (8192, 4096), jnp.float32)
     nbytes = xs.size * 4
     row("fused layernorm+residual 8192x4096",
-        bench(layernorm_residual, xs, rs), 10 * xs.size, 3 * nbytes,
+        bench(layernorm_residual_pallas, xs, rs), 10 * xs.size, 3 * nbytes,
         BF16_FLOPS)
     row("softmax 8192x4096", bench(softmax_pallas, xs),
         8 * xs.size, 2 * nbytes, BF16_FLOPS)

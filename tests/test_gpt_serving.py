@@ -145,3 +145,86 @@ def test_engine_under_mesh_matches_single_device():
     # int8 KV cache under the mesh (head-sharded cache leaves)
     outq = transcripts(qms, mesh=mesh, quantized_cache=True)
     assert len(outq) == 6 and all(len(t) == 5 for t in outq)
+
+
+def test_engine_per_request_top_k_and_stats():
+    """Per-request top_k is data (no recompile across mixed settings);
+    stats counter reports tokens/s."""
+    model = _model(seed=7)
+    eng = ContinuousBatchingEngine(model, max_slots=4)
+    eng.submit(Request(prompt=[1, 2], max_new_tokens=4, temperature=0.9,
+                       top_k=5))
+    eng.submit(Request(prompt=[3, 4], max_new_tokens=4))        # greedy
+    eng.submit(Request(prompt=[5, 6], max_new_tokens=4, temperature=0.9,
+                       top_k=1))  # top_k=1 == greedy even at temp>0
+    fin = {r.id: r for r in eng.run_to_completion()}
+    assert all(len(r.generated) == 4 for r in fin.values())
+    st = eng.stats
+    assert st["tokens_generated"] == 12 and st["tokens_per_s"] > 0
+
+    # top_k=1 must equal greedy decoding of the same prompt
+    greedy = ContinuousBatchingEngine(model, max_slots=1)
+    greedy.submit(Request(prompt=[5, 6], max_new_tokens=4))
+    g = greedy.run_to_completion()[0]
+    k1 = [r for r in fin.values() if r.top_k == 1][0]
+    assert g.generated == k1.generated
+
+
+def test_engine_cancellation():
+    model = _model(seed=8)
+    eng = ContinuousBatchingEngine(model, max_slots=2)
+    reqs = [Request(prompt=[1 + i], max_new_tokens=30) for i in range(4)]
+    for r in reqs:
+        eng.submit(r)
+    eng.step()  # admits 0 and 1
+    assert eng.cancel(reqs[0].id)          # active -> slot freed
+    assert eng.cancel(reqs[3].id)          # still waiting -> dropped
+    assert not eng.cancel(99999)           # unknown
+    fin = eng.run_to_completion()
+    by_id = {r.id: r for r in fin}
+    assert by_id[reqs[0].id].cancelled and by_id[reqs[0].id].generated
+    assert by_id[reqs[3].id].cancelled and not by_id[reqs[3].id].generated
+    assert len(by_id[reqs[1].id].generated) == 30   # untouched by cancels
+    assert len(by_id[reqs[2].id].generated) == 30   # admitted into freed slot
+    assert not by_id[reqs[2].id].cancelled
+
+
+def test_engine_per_request_error_isolation(monkeypatch):
+    """A prefill failure for one request must not kill the batch: the
+    request is finished with .error set, its slot is freed and reused."""
+    model = _model(seed=9)
+    eng = ContinuousBatchingEngine(model, max_slots=1)
+    good1 = Request(prompt=[1, 2], max_new_tokens=3)
+    bad = Request(prompt=[3, 4], max_new_tokens=3)
+    good2 = Request(prompt=[5, 6], max_new_tokens=3)
+
+    real_prefill = eng._prefill
+
+    def flaky(model, prompt, plen_true, caches, slot, key, temp, topp, topk,
+              plen):
+        if int(np.asarray(prompt)[0, 0]) == 3:
+            raise RuntimeError("injected prefill fault")
+        return real_prefill(model, prompt, plen_true, caches, slot, key,
+                            temp, topp, topk, plen=plen)
+
+    eng._prefill = flaky
+    for r in (good1, bad, good2):
+        eng.submit(r)
+    fin = {r.id: r for r in eng.run_to_completion()}
+    assert "injected prefill fault" in fin[bad.id].error
+    assert fin[bad.id].done and not fin[bad.id].generated
+    assert len(fin[good1.id].generated) == 3
+    assert len(fin[good2.id].generated) == 3 and fin[good2.id].error is None
+
+
+def test_transformer_generate_eos():
+    from qgemm_tpu.models.transformer import Transformer, TransformerConfig
+    cfg = TransformerConfig(vocab_size=32, d_model=16, n_heads=2, d_ff=32,
+                            n_layers=1, max_seq_len=32)
+    model = Transformer.init(cfg, key=jax.random.PRNGKey(0))
+    src = jnp.asarray([[1, 2, 3]])
+    base = np.asarray(model.generate(src, 8))
+    eos = int(base[0, 2])   # force an EOS at step 2
+    toks = np.asarray(model.generate(src, 8, eos_token=eos))
+    assert (toks[0, :3] == base[0, :3]).all()
+    assert (toks[0, 2:] == eos).all()   # pinned after first eos

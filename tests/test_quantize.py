@@ -187,3 +187,34 @@ def test_reference_scale_error_parity():
     # normalized per-element error relative to |output| scale
     rel = mean_abs_error(q, exact) / (np.abs(exact).mean() + 1e-12)
     assert rel < 0.02
+
+
+def test_kernel_wrappers_validate_inputs():
+    """C2 parity the TPU way: bad shapes/dtypes raise named ValueErrors at
+    trace time instead of opaque Mosaic lowering errors."""
+    import pytest
+    from qgemm_tpu.ops.quantize import (quantize_weights, quantized_matmul,
+                                        quantized_matmul_prequant)
+
+    x = jnp.zeros((4, 8))
+    with pytest.raises(ValueError, match="inner dims differ"):
+        quantized_matmul(x, jnp.zeros((9, 3)))
+    with pytest.raises(ValueError, match="rank-2"):
+        quantized_matmul(jnp.zeros((4,)), jnp.zeros((4, 3)))
+    with pytest.raises(ValueError, match="float dtype"):
+        quantized_matmul(x.astype(jnp.int8), jnp.zeros((8, 3)))
+    wq = quantize_weights(jnp.ones((8, 3)))
+    with pytest.raises(ValueError, match="int8"):
+        quantized_matmul_prequant(x, wq._replace(q=wq.q.astype(jnp.int32)))
+
+    from qgemm_tpu.ops.pallas.flash_attention import flash_attention
+    with pytest.raises(ValueError, match="head_dim"):
+        flash_attention(jnp.zeros((1, 2, 8, 16)), jnp.zeros((1, 2, 8, 32)),
+                        jnp.zeros((1, 2, 8, 32)))
+
+    from qgemm_tpu.ops.pallas.decode_attention import decode_attention
+    with pytest.raises(ValueError, match="Sq == 1"):
+        decode_attention(jnp.zeros((2, 2, 3, 128)),
+                         jnp.zeros((2, 2, 64, 128), jnp.int8),
+                         jnp.zeros((2, 2, 64, 128), jnp.int8),
+                         jnp.zeros((2,), jnp.int32))
