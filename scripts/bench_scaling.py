@@ -66,13 +66,23 @@ def time_sharded_generate(model, mesh, prompt, n_hi, n_lo, repeats=3):
     return (run(n_hi) - run(n_lo)) / (n_hi - n_lo)
 
 
+def analytic_decode_step_allreduce_bytes(n_layers, d_model, batch):
+    """Per-decode-step all-reduce payload of the TP int8 program: per layer,
+    one f32 [B, d_model] psum after W_O and one after FFN-down, plus the two
+    f32 [B, 1] pmaxes that globalize the row absmax before quantization.
+    This exact count is asserted against the compiled HLO of the sharded
+    decode step in tests/test_parallel.py — the scaling model below is tied
+    to the real program, not hope."""
+    return n_layers * 2 * (batch * d_model * 4 + batch * 4)
+
+
 def analytic_tp_efficiency(n_chips, n_layers, d_model, n_params,
                            batch, hbm_gbps=820.0, ici_gbps=180.0):
     """Efficiency of TP-N vs 1 chip for HBM-bound int8 decode (see module
     docstring). ici_gbps is per-link bidirectional payload bandwidth
     (v5e: 4 links x ~45 GB/s effective)."""
     t_w = n_params / (hbm_gbps * 1e9)           # int8: 1 byte/param
-    v = 2 * n_layers * batch * d_model * 2      # bf16 all-reduce bytes/step
+    v = analytic_decode_step_allreduce_bytes(n_layers, d_model, batch)
     t_ar = 2 * v * (n_chips - 1) / n_chips / (ici_gbps * 1e9)
     return (t_w / n_chips) / (t_w / n_chips + t_ar) if n_chips > 1 else 1.0
 
