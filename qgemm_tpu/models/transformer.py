@@ -114,6 +114,11 @@ class EncoderBlock:
                             ffn=self.ffn.quantize(**qkw),
                             ln1=self.ln1, ln2=self.ln2)
 
+    def with_tp(self, mesh, axis: str = "model") -> "EncoderBlock":
+        return EncoderBlock(attn=self.attn.with_tp(mesh, axis),
+                            ffn=self.ffn.with_tp(mesh, axis),
+                            ln1=self.ln1, ln2=self.ln2)
+
     def __call__(self, x):
         x = x + self.attn(self.ln1(x))
         x = x + self.ffn(self.ln2(x))
@@ -143,6 +148,12 @@ class DecoderBlock:
             ln1=LayerNorm.init(cfg.d_model, d),
             ln2=LayerNorm.init(cfg.d_model, d),
             ln3=LayerNorm.init(cfg.d_model, d))
+
+    def with_tp(self, mesh, axis: str = "model") -> "DecoderBlock":
+        return DecoderBlock(self_attn=self.self_attn.with_tp(mesh, axis),
+                            cross_attn=self.cross_attn.with_tp(mesh, axis),
+                            ffn=self.ffn.with_tp(mesh, axis),
+                            ln1=self.ln1, ln2=self.ln2, ln3=self.ln3)
 
     def quantize(self, **qkw) -> "DecoderBlock":
         return DecoderBlock(self_attn=self.self_attn.quantize(**qkw),
@@ -210,6 +221,17 @@ class Transformer:
             enc_blocks=[b.quantize(**qkw) for b in self.enc_blocks],
             dec_blocks=[b.quantize(**qkw) for b in self.dec_blocks],
             lm_head=self.lm_head.quantize(**qkw))
+
+    def with_tp(self, mesh, axis: str = "model") -> "Transformer":
+        """Mark every quantized GEMM of the encoder-decoder for
+        explicit-collective tensor parallelism (same Megatron pairing as
+        GPT.with_tp); use parallel.sharding.shard_quantized_model."""
+        return replace(
+            self,
+            enc_blocks=[b.with_tp(mesh, axis) for b in self.enc_blocks],
+            dec_blocks=[b.with_tp(mesh, axis) for b in self.dec_blocks],
+            lm_head=self.lm_head.with_tp("column", mesh, axis,
+                                         gather_output=True))
 
     # ------------------------------------------------------------------ fwd
     def encode(self, src_tokens):

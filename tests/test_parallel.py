@@ -246,3 +246,23 @@ def test_scaling_model_allreduce_bytes_match_compiled_hlo():
     expected = bs.analytic_decode_step_allreduce_bytes(n_layers, d_model,
                                                        batch)
     assert total == expected, (total, expected)
+
+
+def test_tp_quantized_encoder_decoder_parity():
+    """The encoder-decoder family also runs TP int8: sharded forward and
+    greedy generate match the single-device quantized model."""
+    from qgemm_tpu.parallel.sharding import shard_quantized_model
+    mesh = make_mesh((1, 4), ("data", "model"))
+    cfg = TransformerConfig(vocab_size=64, d_model=32, n_heads=4, d_ff=64,
+                            n_layers=2, max_seq_len=32)
+    qm = Transformer.init(cfg, key=jax.random.PRNGKey(5)).quantize()
+    qms = shard_quantized_model(qm, mesh)
+    assert qms.dec_blocks[0].cross_attn.wqkv_q.tp_mode == "column"
+    src = jnp.asarray(RNG.integers(0, 64, size=(2, 6)), jnp.int32)
+    tgt = jnp.asarray(RNG.integers(0, 64, size=(2, 5)), jnp.int32)
+    ref = jax.jit(lambda m, s, t: m.forward(s, t))(qm, src, tgt)
+    out = jax.jit(lambda m, s, t: m.forward(s, t))(qms, src, tgt)
+    assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+    g_ref = jax.jit(lambda m, s: m.generate(s, 4))(qm, src)
+    g_out = jax.jit(lambda m, s: m.generate(s, 4))(qms, src)
+    assert bool(jnp.all(g_ref == g_out))
