@@ -10,6 +10,7 @@ import pytest
 
 from qgemm_tpu.models.gpt import GPT, GPTConfig
 from qgemm_tpu.parallel.mesh import make_mesh
+from qgemm_tpu.utils.testing import assert_allclose
 from qgemm_tpu.parallel.pipeline import (
     pipeline_apply,
     pipeline_gpt_forward,
@@ -80,3 +81,21 @@ def test_pipeline_jit_compiles(model):
     out = fwd(model8, tokens)
     assert out.shape == (8, 4, cfg8.vocab_size)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_pipeline_quantized_gpt_matches_single_device():
+    """GPipe composes with the int8 model: the stacked-stage params carry
+    QuantizedWeight leaves, each stage runs the fused quantized matmuls
+    locally inside shard_map."""
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    from qgemm_tpu.parallel.pipeline import pipeline_gpt_forward
+
+    mesh = make_mesh((4,), ("pipe",))
+    cfg = GPTConfig(vocab_size=64, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=4, max_seq_len=32)
+    qm = GPT.init(cfg, key=jax.random.PRNGKey(11)).quantize()
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, 64, (8, 8)),
+                       jnp.int32)
+    ref = jax.jit(lambda m, t: m.forward(t))(qm, toks)
+    out = jax.jit(lambda m, t: pipeline_gpt_forward(m, t, mesh=mesh))(qm, toks)
+    assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
