@@ -50,7 +50,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    def _block():
+    def _block(apply_mask: bool):
         # dot in the INPUT dtype (bf16 runs the MXU at full rate; an f32
         # upcast here would quarter it), accumulate f32.
         q = q_ref[0]                                 # [BQ, D]
@@ -60,19 +60,21 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
 
-        qi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * bq
-        kj = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kk * bk
-        mask = kj < sk_valid
-        if causal:
-            mask = jnp.logical_and(mask, kj <= qi)
-        s = jnp.where(mask, s, _NEG_INF)
+        if apply_mask:
+            qi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * bq
+            kj = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kk * bk
+            mask = kj < sk_valid
+            if causal:
+                mask = jnp.logical_and(mask, kj <= qi)
+            s = jnp.where(mask, s, _NEG_INF)
 
         m_prev = m_scr[:]                            # [BQ, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         # guard fully-masked rows (all -inf): keep exp argument finite
         p = jnp.exp(s - m_new)
-        p = jnp.where(mask, p, 0.0)
+        if apply_mask:
+            p = jnp.where(mask, p, 0.0)
         alpha = jnp.exp(m_prev - m_new)
 
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
@@ -84,12 +86,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    if causal:
-        # a K block strictly above this Q block's last row contributes
-        # nothing — skip its matmuls/softmax entirely (~2x for long seqs)
-        pl.when(kk * bk <= iq * bq + bq - 1)(_block)
-    else:
-        _block()
+    # the VPU is the flash bottleneck at d=128 (exp + mask ops rival the
+    # MXU time), so INTERIOR blocks skip the iota/compare/where entirely:
+    # masking only runs on blocks that touch the causal diagonal or the
+    # padded K tail. Fully-masked causal blocks skip everything.
+    on_diag = kk * bk + bk - 1 > iq * bq if causal else False
+    in_tail = (kk + 1) * bk > sk_valid
+    needs_mask = jnp.logical_or(on_diag, in_tail)
+    visit = kk * bk <= iq * bq + bq - 1 if causal else True
+    pl.when(jnp.logical_and(visit, needs_mask))(
+        functools.partial(_block, True))
+    pl.when(jnp.logical_and(visit, jnp.logical_not(needs_mask)))(
+        functools.partial(_block, False))
 
     @pl.when(kk == n_k - 1)
     def _finish():
@@ -206,13 +214,17 @@ def _flash_attention_fwd_impl(q, k, v, causal: bool = False):
 # ---------------------------------------------------------------------------
 
 def _mask_and_p(q, k, lse, iq, kk, *, scale, causal, bq, bk, sq_valid,
-                sk_valid):
+                sk_valid, apply_mask=True):
     """Recompute the probability block P = exp(S*scale - lse) with the same
     padding/causal mask as the forward. Padded Q rows must be masked here
     too: their lse is ~-1e30, so exp(0 - lse) would overflow to inf and
-    poison dK/dV through inf * 0 = NaN in the P^T dO reduction."""
+    poison dK/dV through inf * 0 = NaN in the P^T dO reduction.
+    ``apply_mask=False`` on interior blocks skips the iota/where VPU work
+    entirely (same predication as the forward kernel)."""
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
+    if not apply_mask:
+        return jnp.exp(s - lse)
     qi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * bq
     kj = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kk * bk
     mask = jnp.logical_and(kj < sk_valid, qi < sq_valid)
@@ -220,6 +232,18 @@ def _mask_and_p(q, k, lse, iq, kk, *, scale, causal, bq, bk, sq_valid,
         mask = jnp.logical_and(mask, kj <= qi)
     p = jnp.exp(jnp.where(mask, s - lse, _NEG_INF))  # lse [BQ, 1]
     return jnp.where(mask, p, 0.0)
+
+
+def _bwd_predicates(iq, kk, *, causal, bq, bk, n_visit_axis, sq_valid,
+                    sk_valid):
+    """(visit, needs_mask) scalars for a backward block: interior blocks
+    (no causal diagonal, no padded-Q/K tail) run unmasked."""
+    on_diag = kk * bk + bk - 1 > iq * bq if causal else False
+    in_k_tail = (kk + 1) * bk > sk_valid
+    in_q_tail = (iq + 1) * bq > sq_valid
+    needs_mask = jnp.logical_or(jnp.logical_or(on_diag, in_k_tail), in_q_tail)
+    visit = kk * bk <= iq * bq + bq - 1 if causal else True
+    return visit, needs_mask
 
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref,
@@ -232,10 +256,11 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref,
     def _init():
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    def _block():
+    def _block(apply_mask: bool):
         q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
         p = _mask_and_p(q, k, lse_ref[0], iq, kk, scale=scale, causal=causal,
-                        bq=bq, bk=bk, sq_valid=sq_valid, sk_valid=sk_valid)
+                        bq=bq, bk=bk, sq_valid=sq_valid, sk_valid=sk_valid,
+                        apply_mask=apply_mask)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - dlt_ref[0]) * scale       # delta [BQ, 1]
@@ -243,10 +268,13 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref,
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    if causal:
-        pl.when(kk * bk <= iq * bq + bq - 1)(_block)
-    else:
-        _block()
+    visit, needs_mask = _bwd_predicates(
+        iq, kk, causal=causal, bq=bq, bk=bk, n_visit_axis=n_k,
+        sq_valid=sq_valid, sk_valid=sk_valid)
+    pl.when(jnp.logical_and(visit, needs_mask))(
+        functools.partial(_block, True))
+    pl.when(jnp.logical_and(visit, jnp.logical_not(needs_mask)))(
+        functools.partial(_block, False))
 
     @pl.when(kk == n_k - 1)
     def _finish():
@@ -264,10 +292,11 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    def _block():
+    def _block(apply_mask: bool):
         q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
         p = _mask_and_p(q, k, lse_ref[0], iq, kk, scale=scale, causal=causal,
-                        bq=bq, bk=bk, sq_valid=sq_valid, sk_valid=sk_valid)
+                        bq=bq, bk=bk, sq_valid=sq_valid, sk_valid=sk_valid,
+                        apply_mask=apply_mask)
         pt = p.astype(do.dtype)
         dv_scr[:] += jax.lax.dot_general(
             pt, do, (((0,), (0,)), ((), ())),    # P^T dO  [BK, Dv]
@@ -279,10 +308,13 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref,
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),  # dS^T Q [BK, D]
             preferred_element_type=jnp.float32)
 
-    if causal:
-        pl.when(iq * bq + bq - 1 >= kk * bk)(_block)
-    else:
-        _block()
+    visit, needs_mask = _bwd_predicates(
+        iq, kk, causal=causal, bq=bq, bk=bk, n_visit_axis=n_q,
+        sq_valid=sq_valid, sk_valid=sk_valid)
+    pl.when(jnp.logical_and(visit, needs_mask))(
+        functools.partial(_block, True))
+    pl.when(jnp.logical_and(visit, jnp.logical_not(needs_mask)))(
+        functools.partial(_block, False))
 
     @pl.when(iq == n_q - 1)
     def _finish():
