@@ -186,6 +186,13 @@ class GPT:
         bandwidth; beyond-reference capability (SURVEY.md §2 C12)."""
         cfg = self.cfg
         s = max_len or cfg.max_seq_len
+        if jax.default_backend() != "cpu":
+            # align the cache extent to the decode kernel's 128-row blocks:
+            # an unaligned cache forced decode_attention to jnp.pad (COPY)
+            # the whole cache every step per layer — measured as int8kv
+            # losing to plain int8 at short contexts (r2 serving bench).
+            # Cost: <=127 junk rows, always masked by per-slot position.
+            s = -(-s // 128) * 128
         dh = cfg.d_model // cfg.n_heads
         if quantized:
             from qgemm_tpu.ops.kv_cache import init_quantized_kv_cache
