@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from qgemm_tpu.ops.kv_cache import quantize_kv
+from qgemm_tpu.models.attention import scaled_dot_product_attention
 from qgemm_tpu.ops.pallas.decode_attention import decode_attention
 
 
@@ -59,3 +60,19 @@ def test_length_one_attends_only_first():
     out = decode_attention(q, k, v, jnp.ones((b,), jnp.int32))
     np.testing.assert_allclose(np.asarray(out[:, :, 0]),
                                np.asarray(v[:, :, 0]), rtol=0, atol=1e-5)
+
+
+def test_decode_attention_large_batch_batched_dots():
+    """B > 16 takes the batched-dot_general branch inside the kernel."""
+    b, h, s, d = 20, 2, 256, 128
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(k1, (b, h, 1, d), jnp.float32)
+    kq, kc = quantize_kv(jax.random.normal(k2, (b, h, s, d), jnp.float32))
+    vq, vc = quantize_kv(jax.random.normal(k3, (b, h, s, d), jnp.float32))
+    lengths = (jnp.arange(b, dtype=jnp.int32) * 11) % (s - 8) + 8
+    out = decode_attention(q, kq, vq, lengths, kc=kc, vc=vc)
+    kd = kq.astype(jnp.float32) * kc / 127.0
+    vd = vq.astype(jnp.float32) * vc / 127.0
+    mask = jnp.arange(s)[None, None, None, :] < lengths[:, None, None, None]
+    ref = scaled_dot_product_attention(q, kd, vd, mask=mask)
+    assert float(jnp.max(jnp.abs(out - ref))) < 6e-3
