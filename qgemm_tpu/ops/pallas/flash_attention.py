@@ -217,8 +217,9 @@ def _mask_and_p(q, k, lse, iq, kk, *, scale, causal, bq, bk, sq_valid,
                 sk_valid, apply_mask=True):
     """Recompute the probability block P = exp(S*scale - lse) with the same
     padding/causal mask as the forward. Padded Q rows must be masked here
-    too: their lse is ~-1e30, so exp(0 - lse) would overflow to inf and
-    poison dK/dV through inf * 0 = NaN in the P^T dO reduction.
+    too: their lse is ZERO-padded (jnp.pad default), so an unmasked padded
+    row gives p = exp(0 - 0) = 1 and contributes full-weight junk terms to
+    dK/dV through P^T dO — silently wrong gradients, no NaN to catch.
     ``apply_mask=False`` on interior blocks skips the iota/where VPU work
     entirely (same predication as the forward kernel)."""
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -234,8 +235,7 @@ def _mask_and_p(q, k, lse, iq, kk, *, scale, causal, bq, bk, sq_valid,
     return jnp.where(mask, p, 0.0)
 
 
-def _bwd_predicates(iq, kk, *, causal, bq, bk, n_visit_axis, sq_valid,
-                    sk_valid):
+def _bwd_predicates(iq, kk, *, causal, bq, bk, sq_valid, sk_valid):
     """(visit, needs_mask) scalars for a backward block: interior blocks
     (no causal diagonal, no padded-Q/K tail) run unmasked."""
     on_diag = kk * bk + bk - 1 > iq * bq if causal else False
@@ -269,7 +269,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref,
             preferred_element_type=jnp.float32)
 
     visit, needs_mask = _bwd_predicates(
-        iq, kk, causal=causal, bq=bq, bk=bk, n_visit_axis=n_k,
+        iq, kk, causal=causal, bq=bq, bk=bk,
         sq_valid=sq_valid, sk_valid=sk_valid)
     pl.when(jnp.logical_and(visit, needs_mask))(
         functools.partial(_block, True))
@@ -309,7 +309,7 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref,
             preferred_element_type=jnp.float32)
 
     visit, needs_mask = _bwd_predicates(
-        iq, kk, causal=causal, bq=bq, bk=bk, n_visit_axis=n_q,
+        iq, kk, causal=causal, bq=bq, bk=bk,
         sq_valid=sq_valid, sk_valid=sk_valid)
     pl.when(jnp.logical_and(visit, needs_mask))(
         functools.partial(_block, True))

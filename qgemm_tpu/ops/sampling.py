@@ -10,9 +10,10 @@ array. top-k is dynamic by ranking against one descending sort — the same
 sort nucleus filtering needs, so per-slot k costs nothing extra; sampling
 happens in sorted space and maps back through the sort permutation.
 
-Filter semantics match the standard serving pipeline: top-k first, then
-top-p on the renormalized survivor distribution, then temperature; greedy
-is the temperature=0 limit.
+Filter semantics match the HF serving convention: top-k cut first, then
+TEMPERATURE scaling, then top-p on the renormalized, temperature-scaled
+survivor distribution (so low temperature concentrates mass and shrinks
+the nucleus); greedy is the temperature=0 limit.
 """
 
 from __future__ import annotations

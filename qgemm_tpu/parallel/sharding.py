@@ -109,9 +109,14 @@ def shard_quantized_model(model, mesh: Mesh, axis: str = "model"):
 def shard_kv_caches(caches, mesh: Mesh, axis: str = "model"):
     """Head-shard every KV-cache leaf [B, H, S, *] over the model axis —
     matches the column-sharded K/V projections (heads split across devices)
-    so cache writes and decode attention stay local to each device."""
+    so cache writes and decode attention stay local to each device. Leaves
+    whose head count doesn't divide the axis replicate instead (same
+    graceful degradation as shard_model)."""
     def put(leaf):
-        return jax.device_put(leaf, NamedSharding(mesh, P(None, axis)))
+        spec = P(None, axis)
+        if not _divisible(leaf, spec, mesh):
+            spec = _REP
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map(put, caches)
 
 

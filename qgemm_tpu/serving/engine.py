@@ -36,11 +36,12 @@ class Request:
     max_new_tokens: int = 32
     eos_token: Optional[int] = None
     # sampling (ops/sampling.py): temperature 0 = greedy; top_p 1 = off;
-    # top_k 0 = engine default. All three are per-request DATA (one jitted
-    # decode serves mixed settings without recompiling).
+    # top_k None = inherit the engine default, 0 = explicitly off, >0 = cut.
+    # All three are per-request DATA (one jitted decode serves mixed
+    # settings without recompiling).
     temperature: float = 0.0
     top_p: float = 1.0
-    top_k: int = 0
+    top_k: Optional[int] = None
     id: int = field(default_factory=itertools.count().__next__)
     generated: List[int] = field(default_factory=list)
     done: bool = False
@@ -304,7 +305,7 @@ class ContinuousBatchingEngine:
             prompt = jnp.asarray(
                 np.pad(np.asarray(req.prompt, np.int32), (0, bucket - plen))[None, :])
             self._key, sub = jax.random.split(self._key)
-            eff_topk = req.top_k or self.top_k
+            eff_topk = self.top_k if req.top_k is None else req.top_k
             try:
                 first_tok, self.caches = self._prefill(
                     self.model, prompt, jnp.int32(plen), self.caches,

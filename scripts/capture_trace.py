@@ -30,6 +30,10 @@ def device_durations(trace_dir):
     """Parse the newest trace.json.gz: {kernel name: [durations us]} for
     events on the /device:TPU process."""
     paths = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(
+            f"no trace.json.gz under {trace_dir}/plugins/profile — the "
+            "profiler wrote nothing (interrupted run or unsupported layout)")
     with gzip.open(paths[-1]) as f:
         d = json.load(f)
     evs = d.get("traceEvents", [])
