@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""One-shot hardware verification: every TPU-only assertion in one place.
+
+The pytest suite runs on the virtual CPU mesh (kernels in interpreter
+mode); this script is the real-chip counterpart — run it after touching
+any Pallas kernel. Asserts, on actual hardware:
+
+  1. fused quantized matmul == XLA oracle (pallas vs jnp, odd shapes too)
+  2. int8 dynamic pipeline FASTER than bf16 dot at 2048^3 (the north star)
+  3. flash attention fwd+bwd == jnp oracle at S=4k bf16 AND zero temp HBM
+     (jit memory_analysis: the naive backward materializes ~269 MB)
+  4. decode attention over the int8 cache == masked reference for odd
+     batch sizes and ragged per-slot lengths (both dot branches)
+
+Prints one JSON line {"ok": true, ...} and exits nonzero on any failure.
+"""
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    assert jax.default_backend() != "cpu", "run on the TPU"
+    rng = np.random.default_rng(0)
+    results = {}
+
+    # 1. fused qmm parity (incl. ragged shapes)
+    from qgemm_tpu.ops.quantize import quantized_matmul, quantized_matmul_xla
+    for (m, k, n) in ((512, 1024, 768), (300, 500, 200), (2048, 2048, 2048)):
+        x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32))
+        got = quantized_matmul(x, w, backend="pallas")
+        ref = quantized_matmul_xla(x, w)
+        err = float(jnp.max(jnp.abs(got - ref)))
+        assert err < 1e-3, f"qmm {m}x{k}x{n}: pallas vs xla {err}"
+    results["qmm_parity"] = "ok"
+
+    # 2. int8 beats bf16 at the reference problem size
+    from qgemm_tpu.ops.pallas.quantized_matmul import quantized_matmul_pallas
+    from qgemm_tpu.utils.profiling import bench_ms
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2048, 2048), jnp.float32,
+                           minval=-1, maxval=1)
+    w = jax.random.uniform(jax.random.PRNGKey(1), (2048, 2048), jnp.float32,
+                           minval=-1, maxval=1)
+    t_int8 = bench_ms(quantized_matmul_pallas, x, w, iters=400, base=25)
+    t_bf16 = bench_ms(
+        lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32),
+        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), iters=400, base=25)
+    results["int8_vs_bf16"] = round(t_bf16 / t_int8, 3)
+    assert t_int8 < t_bf16, f"int8 {t_int8} ms NOT faster than bf16 {t_bf16}"
+
+    # 3. flash fwd+bwd parity + memory
+    from qgemm_tpu.ops.pallas.flash_attention import (_reference_attention,
+                                                      flash_attention)
+    B, H, S, D = 1, 2, 4096, 128
+    q = jnp.asarray(rng.normal(size=(B, H, S, D)), jnp.bfloat16)
+    kk = jnp.asarray(rng.normal(size=(B, H, S, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, H, S, D)), jnp.bfloat16)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, True).astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v, True)
+                       .astype(jnp.float32) ** 2)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))
+    for a, b in zip(g(q, kk, v), gr(q, kk, v)):
+        a32, b32 = a.astype(jnp.float32), b.astype(jnp.float32)
+        rel = float(jnp.linalg.norm(a32 - b32) / jnp.linalg.norm(b32))
+        assert rel < 1e-2, f"flash grad rel err {rel}"
+    mf = g.lower(q, kk, v).compile().memory_analysis().temp_size_in_bytes
+    mr = gr.lower(q, kk, v).compile().memory_analysis().temp_size_in_bytes
+    results["flash_bwd_temp_mb"] = round(mf / 1e6, 1)
+    results["naive_bwd_temp_mb"] = round(mr / 1e6, 1)
+    assert mf < 0.2 * mr, f"flash bwd temp {mf} not << naive {mr}"
+
+    # 4. decode attention, odd B + ragged lengths, both dot branches
+    from qgemm_tpu.ops.kv_cache import quantize_kv
+    from qgemm_tpu.ops.pallas.decode_attention import decode_attention
+    from qgemm_tpu.models.attention import scaled_dot_product_attention
+    for b in (5, 8, 20):   # 20 exercises the batched-dot branch
+        s = 640
+        qd = jax.random.normal(jax.random.PRNGKey(2), (b, 4, 1, 128))
+        kq, kc = quantize_kv(jax.random.normal(jax.random.PRNGKey(3),
+                                               (b, 4, s, 128)))
+        vq, vc = quantize_kv(jax.random.normal(jax.random.PRNGKey(4),
+                                               (b, 4, s, 128)))
+        lengths = (jnp.arange(b, dtype=jnp.int32) * 37) % (s - 16) + 16
+        got = decode_attention(qd, kq, vq, lengths, kc=kc, vc=vc)
+        kd = kq.astype(jnp.float32) * kc / 127.0
+        vd = vq.astype(jnp.float32) * vc / 127.0
+        mask = jnp.arange(s)[None, None, None, :] < lengths[:, None, None, None]
+        ref = scaled_dot_product_attention(qd, kd, vd, mask=mask)
+        err = float(jnp.max(jnp.abs(got - ref)))
+        assert err < 6e-3, f"decode B={b}: {err}"
+    results["decode_parity"] = "ok"
+
+    print(json.dumps({"ok": True, **results}))
+
+
+if __name__ == "__main__":
+    main()
