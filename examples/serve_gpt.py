@@ -37,19 +37,39 @@ def main():
     ap.add_argument("--scheduler", default="auto",
                     choices=["auto", "python", "native"])
     ap.add_argument("--no-quantize", action="store_true")
+    ap.add_argument("--tp", type=int, default=0,
+                    help="tensor-parallel ways (BASELINE config 5): shard "
+                         "the int8 model over a (1, tp) mesh — needs >= tp "
+                         "devices (a pod slice, or the virtual CPU mesh via "
+                         "JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_"
+                         "platform_device_count=N)")
     args = ap.parse_args()
 
     cfg = GPTConfig(vocab_size=args.vocab, d_model=args.d_model,
                     n_heads=args.heads, d_ff=4 * args.d_model,
                     n_layers=args.layers, max_seq_len=args.max_seq_len)
     model = GPT.init(cfg, key=jax.random.PRNGKey(args.seed))
+    mesh = None
     if not args.no_quantize:
         model = model.quantize()
+    if args.tp > 1:
+        if args.no_quantize:
+            raise SystemExit("--tp drives the int8 shard_map kernels; "
+                             "drop --no-quantize")
+        from qgemm_tpu.parallel.mesh import make_mesh
+        from qgemm_tpu.parallel.sharding import shard_quantized_model
+        if len(jax.devices()) < args.tp:
+            raise SystemExit(f"--tp {args.tp} needs {args.tp} devices, "
+                             f"have {len(jax.devices())}")
+        mesh = make_mesh((1, args.tp), ("data", "model"),
+                         devices=jax.devices()[:args.tp])
+        model = shard_quantized_model(model, mesh)
     engine = ContinuousBatchingEngine(model, max_slots=args.slots,
-                                      scheduler=args.scheduler)
+                                      scheduler=args.scheduler, mesh=mesh)
     print(f"model: {model.num_params()/1e6:.1f}M params "
           f"({'bf16/f32' if args.no_quantize else 'int8'}); "
-          f"scheduler: {engine.scheduler}; slots: {args.slots}")
+          f"scheduler: {engine.scheduler}; slots: {args.slots}"
+          + (f"; TP={args.tp}" if mesh is not None else ""))
 
     rng = np.random.default_rng(args.seed)
     for i in range(args.requests):
