@@ -48,10 +48,11 @@ def _ln_kernel(x_ref, r_ref, g_ref, b_ref, o_ref, *, n_valid: int, eps: float,
     o_ref[:] = y.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
+@functools.partial(jax.jit, static_argnames=("eps", "block_rows"))
 def layernorm_residual_pallas(x, residual=None, gamma=None, beta=None,
-                              eps: float = 1e-5):
-    """LN(x [+ residual]) * gamma + beta over the last axis."""
+                              eps: float = 1e-5, block_rows: int = 0):
+    """LN(x [+ residual]) * gamma + beta over the last axis. ``block_rows``
+    overrides the row-block heuristic (scripts/tune_rowops.py sweeps it)."""
     orig_shape = x.shape
     n = orig_shape[-1]
     x2 = x.reshape(-1, n)
@@ -66,7 +67,7 @@ def layernorm_residual_pallas(x, residual=None, gamma=None, beta=None,
         beta = jnp.zeros((n,), jnp.float32)
 
     npad = _round_up(n, 128)
-    bm = max(8, min(512, (1 << 20) // npad // 8 * 8))  # ~4 MB f32 per block
+    bm = block_rows or max(8, min(512, (1 << 20) // npad // 8 * 8))
     mpad = _round_up(m, bm)
     has_res = residual.shape == x2.shape
     if (mpad, npad) != (m, n):

@@ -38,16 +38,18 @@ def _softmax_kernel(x_ref, o_ref, *, n_valid: int):
     o_ref[:] = (e / s).astype(o_ref.dtype)
 
 
-@jax.jit
-def softmax_pallas(x):
-    """Row-wise softmax over the last axis; any leading shape."""
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def softmax_pallas(x, block_rows: int = 0):
+    """Row-wise softmax over the last axis; any leading shape.
+    ``block_rows`` overrides the row-block heuristic (scripts/tune_rowops.py
+    sweeps it)."""
     orig_shape = x.shape
     n = orig_shape[-1]
     x2 = x.reshape(-1, n)
     m = x2.shape[0]
 
     npad = _round_up(n, 128)
-    bm = max(8, min(512, (1 << 20) // npad // 8 * 8))  # ~4 MB f32 per block
+    bm = block_rows or max(8, min(512, (1 << 20) // npad // 8 * 8))
     mpad = _round_up(m, bm)
     if (mpad, npad) != (m, n):
         x2 = jnp.pad(x2, ((0, mpad - m), (0, npad - n)))
