@@ -204,6 +204,12 @@ def _flash_attention_fwd_impl(q, k, v, causal: bool = False):
             pltpu.VMEM((bq, dvp), jnp.float32),  # output accumulator
         ],
         compiler_params=_compiler_params(("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 if causal else 4) * b * h * sq * sk * (d + dv) // 2,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize
+            + b * h * sqp * dvp * qp.dtype.itemsize,
+            transcendentals=b * h * sq * sk // (2 if causal else 1),
+        ),
         interpret=_interpret(),
     )(qp, kp, vp)
     return out[:, :sq, :dv].reshape(b, h, sq, dv), lse.reshape(b, h, sqp)[..., :sq]
