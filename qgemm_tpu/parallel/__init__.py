@@ -12,5 +12,8 @@ from qgemm_tpu.parallel.ring_attention import ring_attention  # noqa: F401
 from qgemm_tpu.parallel.sharding import (  # noqa: F401
     model_sharding_spec,
     shard_batch,
+    shard_kv_caches,
     shard_model,
+    shard_quantized_model,
 )
+from qgemm_tpu.parallel.ulysses import ulysses_attention  # noqa: F401

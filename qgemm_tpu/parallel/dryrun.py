@@ -137,6 +137,15 @@ def run_dryrun(n_devices: int) -> None:
     jax.block_until_ready(attn)
     assert bool(jnp.all(jnp.isfinite(attn))), "non-finite ring attention"
 
+    # Ulysses (all-to-all) sequence parallelism: heads exchanged for
+    # sequence, full-S attention per head group, exchanged back
+    from qgemm_tpu.parallel.ulysses import ulysses_attention
+    qu = jax.random.normal(kq, (2, n_devices, 8 * n_devices, 8), jnp.float32)
+    ul = jax.jit(lambda q: ulysses_attention(q, q, q, mesh=seq_mesh,
+                                             causal=True))(qu)
+    jax.block_until_ready(ul)
+    assert bool(jnp.all(jnp.isfinite(ul))), "non-finite ulysses attention"
+
     # --- expert parallelism: MoE GPT, experts sharded over an `expert` axis
     from qgemm_tpu.models.moe import MoEFeedForward
     from qgemm_tpu.parallel.expert import ep_moe_forward
