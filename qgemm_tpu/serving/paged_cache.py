@@ -1,0 +1,213 @@
+"""Paged KV cache: block-table indirection over a fixed page pool.
+
+Production-serving extension beyond the slot-contiguous cache (reference
+has no KV cache at all; BASELINE's north star is continuous batching).
+The slot cache allocates ``max_slots x max_seq_len`` up front — HBM scales
+with the WORST case. Here the cache is a pool of fixed-size pages plus a
+per-slot page table, and pages are allocated on demand as sequences grow:
+HBM scales with the tokens actually resident, so the same chip holds more
+concurrent slots (or longer worst-case contexts) for mixed-length traffic.
+
+TPU-native design constraints drive the layout:
+  * everything is static-shape under jit — the pool ``[H, P, page, D]``
+    and page tables ``[B, pages_per_slot]`` never change shape; occupancy
+    is data (the allocator is host-side bookkeeping, like the scheduler);
+  * page size is 128 (the lane-tile row count), so a page is exactly one
+    kernel block and the Pallas decode kernel walks the page table with
+    scalar prefetch — no gather materialization;
+  * K/V are stored int8 with per-position absmax scales (the int8-KV
+    serving path; ops/kv_cache.py semantics).
+
+``paged_attention_reference`` is the jnp oracle (gathers pages, masked
+attention); the fused kernel lives in ops/pallas/paged_attention.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qgemm_tpu.ops.kv_cache import QRANGE
+
+PAGE_SIZE = 128
+_EPS = 1e-12
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("kq", "kc", "vq", "vc", "page_table"),
+         meta_fields=("page_size",))
+@dataclass
+class PagedKVCache:
+    """One layer's paged cache.
+
+    kq/vq: int8 pools [H, P, page, D]; kc/vc: f32 scales [H, P, page, 1].
+    page_table: int32 [B, pages_per_slot] — logical page j of slot b lives
+    in physical page page_table[b, j]. Unallocated entries hold 0 and are
+    never read (attention masks strictly by per-slot length).
+    """
+    kq: jax.Array
+    kc: jax.Array
+    vq: jax.Array
+    vc: jax.Array
+    page_table: jax.Array
+    page_size: int = PAGE_SIZE
+
+    @property
+    def n_pages(self) -> int:
+        return self.kq.shape[1]
+
+
+def init_paged_cache(n_heads: int, head_dim: int, n_pages: int,
+                     batch: int, pages_per_slot: int,
+                     page_size: int = PAGE_SIZE) -> PagedKVCache:
+    z8 = lambda d: jnp.zeros((n_heads, n_pages, page_size, d), jnp.int8)
+    zf = lambda d: jnp.ones((n_heads, n_pages, page_size, d), jnp.float32)
+    return PagedKVCache(
+        kq=z8(head_dim), kc=zf(1), vq=z8(head_dim), vc=zf(1),
+        page_table=jnp.zeros((batch, pages_per_slot), jnp.int32),
+        page_size=page_size)
+
+
+class PageAllocator:
+    """Host-side page freelist (mirrors the scheduler split: device arrays
+    are static, occupancy is host bookkeeping). Page 0 is reserved as the
+    null page so fresh page tables are valid."""
+
+    def __init__(self, n_pages: int, batch: int, pages_per_slot: int):
+        self.free: List[int] = list(range(n_pages - 1, 0, -1))  # 0 reserved
+        self.slot_pages: List[List[int]] = [[] for _ in range(batch)]
+        self.pages_per_slot = pages_per_slot
+
+    @property
+    def n_free(self) -> int:
+        return len(self.free)
+
+    def pages_needed(self, n_tokens: int, page_size: int = PAGE_SIZE) -> int:
+        return -(-n_tokens // page_size)
+
+    def grow(self, slot: int, n_tokens: int,
+             page_size: int = PAGE_SIZE) -> List[tuple]:
+        """Ensure ``slot`` has pages for ``n_tokens``; returns the list of
+        (logical_index, physical_page) entries newly allocated (to be
+        written into the device page table). Raises if the pool or the
+        slot's table is exhausted."""
+        need = self.pages_needed(n_tokens, page_size)
+        new = []
+        while len(self.slot_pages[slot]) < need:
+            j = len(self.slot_pages[slot])
+            if j >= self.pages_per_slot:
+                raise RuntimeError(f"slot {slot}: page table full ({j})")
+            if not self.free:
+                raise RuntimeError("page pool exhausted")
+            p = self.free.pop()
+            self.slot_pages[slot].append(p)
+            new.append((j, p))
+        return new
+
+    def release(self, slot: int) -> None:
+        self.free.extend(reversed(self.slot_pages[slot]))
+        self.slot_pages[slot] = []
+
+
+def quantize_rows(x):
+    """Per-position absmax int8: x [..., D] -> (int8, f32 absmax [..., 1])."""
+    c = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                            keepdims=True), _EPS)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) * (QRANGE / c)),
+                 -QRANGE, QRANGE).astype(jnp.int8)
+    return q, c.astype(jnp.float32)
+
+
+@jax.jit
+def paged_write_step(cache: PagedKVCache, k_new, v_new, positions):
+    """Write one decode step's K/V. k_new/v_new [B, H, 1, D];
+    positions [B] (the position being written). The page for the position
+    must already be allocated (engine grows tables before the step)."""
+    b = k_new.shape[0]
+    ps = cache.page_size
+    logical = positions // ps
+    phys = jnp.take_along_axis(cache.page_table, logical[:, None],
+                               axis=1)[:, 0]                    # [B]
+    off = positions % ps
+
+    kq, kc = quantize_rows(k_new[:, :, 0, :])                   # [B, H, D]
+    vq, vc = quantize_rows(v_new[:, :, 0, :])
+    del b
+
+    def scat(pool, val):
+        # pool [H, P, page, *]; write val [B, H, *] at (:, phys_b, off_b)
+        return pool.at[:, phys, off].set(
+            jnp.moveaxis(val, 0, 1), mode="drop")
+
+    return PagedKVCache(
+        kq=scat(cache.kq, kq), kc=scat(cache.kc, kc),
+        vq=scat(cache.vq, vq), vc=scat(cache.vc, vc),
+        page_table=cache.page_table, page_size=ps)
+
+
+def paged_write_prompt(cache: PagedKVCache, slot, k_prompt, v_prompt,
+                       plen_true):
+    """Prefill: write a whole (bucket-padded) prompt's K/V for one slot.
+    k_prompt/v_prompt [H, S_bucket, D] (S_bucket a multiple of page_size).
+    Rows beyond plen_true are junk-but-never-read."""
+    ps = cache.page_size
+    s_bucket = k_prompt.shape[1]
+    n_log = s_bucket // ps
+    kq, kc = quantize_rows(k_prompt)                            # [H, S, D]
+    vq, vc = quantize_rows(v_prompt)
+
+    def write_page(cache_arrays, j):
+        kq_p, kc_p, vq_p, vc_p = cache_arrays
+        phys = cache.page_table[slot, j]
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, j * ps, ps, axis=1)
+        put = lambda pool, val: jax.lax.dynamic_update_slice(
+            pool, val[:, None], (0, phys, 0, 0))
+        return (put(kq_p, sl(kq)), put(kc_p, sl(kc)),
+                put(vq_p, sl(vq)), put(vc_p, sl(vc))), None
+
+    (kq_p, kc_p, vq_p, vc_p), _ = jax.lax.scan(
+        write_page, (cache.kq, cache.kc, cache.vq, cache.vc),
+        jnp.arange(n_log))
+    return PagedKVCache(kq=kq_p, kc=kc_p, vq=vq_p, vc=vc_p,
+                        page_table=cache.page_table, page_size=ps)
+
+
+def gather_slot_kv(cache: PagedKVCache, max_pages: Optional[int] = None):
+    """jnp oracle: materialize each slot's logical K/V [B, H, S_max, D]
+    (+ scales) by gathering its pages. S_max = pages_per_slot * page_size
+    unless ``max_pages`` caps it."""
+    pt = cache.page_table if max_pages is None \
+        else cache.page_table[:, :max_pages]
+
+    def gather(pool):
+        # pool [H, P, page, *] -> [B, H, n_log*page, *]
+        g = pool[:, pt]                      # [H, B, n_log, page, *]
+        h, b, n, p, d = g.shape
+        return jnp.moveaxis(g, 1, 0).reshape(b, h, n * p, d)
+
+    return (gather(cache.kq), gather(cache.kc),
+            gather(cache.vq), gather(cache.vc))
+
+
+def paged_attention_reference(q, cache: PagedKVCache, lengths,
+                              max_pages: Optional[int] = None):
+    """Oracle decode attention over the paged cache. q [B, H, 1, D];
+    lengths [B] (#valid positions per slot). Returns [B, H, 1, D]."""
+    kq, kc, vq, vc = gather_slot_kv(cache, max_pages)
+    d = q.shape[-1]
+    s = kq.shape[2]
+    cd = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cd),
+                        kq.astype(cd)).astype(jnp.float32)
+    scores = scores * (kc[..., 0] / (QRANGE * d ** 0.5))[:, :, None, :]
+    kj = jnp.arange(s)[None, None, None, :]
+    scores = jnp.where(kj < lengths[:, None, None, None], scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    p = p * (vc[..., 0] * (1.0 / QRANGE))[:, :, None, :]
+    return jnp.einsum("bhqk,bhkv->bhqv", p.astype(cd),
+                      vq.astype(cd)).astype(q.dtype)

@@ -1,0 +1,120 @@
+"""Paged KV cache: allocator, write paths, and attention oracle parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qgemm_tpu.models.attention import scaled_dot_product_attention
+from qgemm_tpu.serving.paged_cache import (PAGE_SIZE, PageAllocator,
+                                           PagedKVCache, init_paged_cache,
+                                           paged_attention_reference,
+                                           paged_write_prompt,
+                                           paged_write_step)
+from qgemm_tpu.utils.testing import assert_allclose
+
+RNG = np.random.default_rng(11)
+
+
+def test_allocator_grow_release():
+    a = PageAllocator(n_pages=8, batch=2, pages_per_slot=4)
+    assert a.n_free == 7                      # page 0 reserved
+    new = a.grow(0, 1)                        # 1 token -> 1 page
+    assert len(new) == 1 and new[0][0] == 0
+    assert a.grow(0, PAGE_SIZE) == []         # still fits page 0
+    new = a.grow(0, PAGE_SIZE + 1)            # crosses into page 1
+    assert len(new) == 1 and new[0][0] == 1
+    a.grow(1, 2 * PAGE_SIZE)
+    assert a.n_free == 3
+    a.release(0)
+    assert a.n_free == 5
+    with pytest.raises(RuntimeError, match="page table full"):
+        a.grow(1, 5 * PAGE_SIZE)
+
+
+def _filled_cache(b=3, h=2, d=64, lengths=(40, 200, 129)):
+    """Build a paged cache holding known K/V for each slot, plus the dense
+    [B, H, S, D] arrays they should reconstruct to."""
+    pps = 3
+    cache = init_paged_cache(h, d, n_pages=16, batch=b, pages_per_slot=pps)
+    alloc = PageAllocator(16, b, pps)
+    s_max = pps * PAGE_SIZE
+    k_dense = np.zeros((b, h, s_max, d), np.float32)
+    v_dense = np.zeros((b, h, s_max, d), np.float32)
+    pt = np.zeros((b, pps), np.int32)
+    for slot, ln in enumerate(lengths):
+        for j, p in alloc.grow(slot, ln):
+            pt[slot, j] = p
+    cache = PagedKVCache(kq=cache.kq, kc=cache.kc, vq=cache.vq, vc=cache.vc,
+                         page_table=jnp.asarray(pt), page_size=PAGE_SIZE)
+    # prefill each slot with a bucket-padded prompt
+    for slot, ln in enumerate(lengths):
+        bucket = -(-ln // PAGE_SIZE) * PAGE_SIZE
+        kp = RNG.normal(size=(h, bucket, d)).astype(np.float32)
+        vp = RNG.normal(size=(h, bucket, d)).astype(np.float32)
+        k_dense[slot, :, :bucket] = kp
+        v_dense[slot, :, :bucket] = vp
+        cache = jax.jit(paged_write_prompt)(cache, slot, jnp.asarray(kp),
+                                            jnp.asarray(vp), ln)
+    return cache, k_dense, v_dense, jnp.asarray(lengths, jnp.int32)
+
+
+def _dequant_dense(x):
+    """Round-trip through the same per-position int8 scheme the cache uses,
+    so comparisons isolate the PAGING logic from quantization noise."""
+    from qgemm_tpu.serving.paged_cache import quantize_rows
+    q8, c = quantize_rows(jnp.asarray(x))
+    return q8.astype(jnp.float32) * c / 127.0
+
+
+def test_paged_attention_matches_dense():
+    b, h, d = 3, 2, 64
+    cache, k_dense, v_dense, lengths = _filled_cache(b, h, d)
+    q = jnp.asarray(RNG.normal(size=(b, h, 1, d)).astype(np.float32))
+    got = paged_attention_reference(q, cache, lengths)
+    s_max = k_dense.shape[2]
+    mask = jnp.arange(s_max)[None, None, None, :] < lengths[:, None, None, None]
+    ref = scaled_dot_product_attention(q, _dequant_dense(k_dense),
+                                       _dequant_dense(v_dense), mask=mask)
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-4
+
+
+def test_paged_decode_step_write():
+    """A decode-step write lands at the right (page, offset) and the next
+    attention sees it."""
+    b, h, d = 3, 2, 64
+    lengths = (40, 200, 129)
+    cache, k_dense, v_dense, jl = _filled_cache(b, h, d, lengths)
+    k_new = jnp.asarray(RNG.normal(size=(b, h, 1, d)).astype(np.float32))
+    v_new = jnp.asarray(RNG.normal(size=(b, h, 1, d)).astype(np.float32))
+    positions = jnp.asarray(lengths, jnp.int32)       # append at the end
+    cache = paged_write_step(cache, k_new, v_new, positions)
+
+    k_dense = np.array(k_dense)
+    v_dense = np.array(v_dense)
+    for slot, ln in enumerate(lengths):
+        k_dense[slot, :, ln] = np.asarray(k_new[slot, :, 0])
+        v_dense[slot, :, ln] = np.asarray(v_new[slot, :, 0])
+
+    q = jnp.asarray(RNG.normal(size=(b, h, 1, d)).astype(np.float32))
+    got = paged_attention_reference(q, cache, jl + 1)
+    s_max = k_dense.shape[2]
+    mask = jnp.arange(s_max)[None, None, None, :] < (jl + 1)[:, None, None, None]
+    ref = scaled_dot_product_attention(q, _dequant_dense(k_dense),
+                                       _dequant_dense(v_dense), mask=mask)
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-4
+
+
+def test_pages_are_shared_pool_not_per_slot():
+    """Two slots with interleaved allocations occupy disjoint physical
+    pages from one pool (the memory-scaling property)."""
+    a = PageAllocator(n_pages=64, batch=4, pages_per_slot=8)
+    a.grow(0, 3 * PAGE_SIZE)
+    a.grow(1, 2 * PAGE_SIZE)
+    a.grow(0, 4 * PAGE_SIZE)
+    pages0, pages1 = set(a.slot_pages[0]), set(a.slot_pages[1])
+    assert len(pages0) == 4 and len(pages1) == 2
+    assert not (pages0 & pages1)
+    a.release(0)
+    a.grow(2, 4 * PAGE_SIZE)
+    assert set(a.slot_pages[2]) <= pages0 | {p for p in range(64)}
