@@ -163,6 +163,26 @@ class MultiHeadAttention:
             v = self._split(self.wqkv_v(x_kv))
 
         if kv_cache is not None:
+            from qgemm_tpu.serving.paged_cache import PagedKVCache
+            if isinstance(kv_cache, PagedKVCache):
+                # paged decode (Sq == 1, per-slot positions): append this
+                # step's K/V at each slot's position (page, offset) and
+                # attend over the page table — scalar-prefetch kernel on
+                # TPU, gather oracle on CPU
+                from qgemm_tpu.serving.paged_cache import (
+                    paged_attention_reference, paged_write_step)
+                assert q.shape[2] == 1, "paged cache is decode-only"
+                positions = jnp.broadcast_to(
+                    jnp.asarray(cache_index).reshape(-1), (q.shape[0],))
+                new_cache = paged_write_step(kv_cache, k, v, positions)
+                lengths = positions + 1
+                if jax.default_backend() != "cpu" and not self._tp:
+                    from qgemm_tpu.ops.pallas.paged_attention import \
+                        paged_decode_attention
+                    out = paged_decode_attention(q, new_cache, lengths)
+                else:
+                    out = paged_attention_reference(q, new_cache, lengths)
+                return self.w_o(self._merge(out)), new_cache
             from qgemm_tpu.ops.kv_cache import QuantizedKVCache, quantize_kv
             per_slot = getattr(cache_index, "ndim", 0) == 1  # [B] positions
             if per_slot:

@@ -204,7 +204,8 @@ class ContinuousBatchingEngine:
     def __init__(self, model, max_slots: int = 8,
                  max_seq_len: Optional[int] = None,
                  scheduler: str = "auto", quantized_cache: bool = False,
-                 top_k: int = 0, seed: int = 0, mesh=None):
+                 top_k: int = 0, seed: int = 0, mesh=None,
+                 paged: bool = False, n_pages: Optional[int] = None):
         """``scheduler``: "python", "native" (C++ csrc/scheduler.cpp), or
         "auto" (native when the shared library is built).
         ``quantized_cache``: int8 KV cache (ops/kv_cache.py) — halves the
@@ -214,7 +215,14 @@ class ContinuousBatchingEngine:
         ``mesh``: tensor-parallel serving — pass the mesh the model was
         sharded over (``parallel.sharding.shard_quantized_model``); the KV
         cache is head-sharded over its ``model`` axis to match the
-        column-sharded K/V projections."""
+        column-sharded K/V projections.
+        ``paged``: block-table KV cache (serving/paged_cache.py, int8):
+        each admission reserves pages for its own worst case
+        (prompt + max_new_tokens), so cache HBM scales with committed
+        per-request maxima instead of slots x engine max_seq_len.
+        ``n_pages`` sizes the pool (default: full provisioning; pass less
+        to oversubscribe — admissions that don't fit wait in the queue
+        until finishing requests release pages)."""
         self.model = model
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len or model.cfg.max_seq_len
@@ -231,9 +239,31 @@ class ContinuousBatchingEngine:
         self.book = book_cls(max_slots, self.max_seq_len)
         self.scheduler = scheduler
 
-        self.caches = model.init_cache(max_slots, self.max_seq_len,
-                                       quantized=quantized_cache)
+        self.paged = paged
+        if paged:
+            from qgemm_tpu.serving.paged_cache import (PAGE_SIZE,
+                                                       PageAllocator,
+                                                       init_paged_cache)
+            cfg = model.cfg
+            pps = -(-self.max_seq_len // PAGE_SIZE)
+            self.max_seq_len = pps * PAGE_SIZE
+            npg = n_pages or (1 + max_slots * pps)
+            dh = cfg.d_model // cfg.n_heads
+            self._pt_host = np.zeros((max_slots, pps), np.int32)
+            self.caches = [init_paged_cache(cfg.n_heads, dh, npg,
+                                            max_slots, pps)
+                           for _ in model.blocks]
+            self.alloc = PageAllocator(npg, max_slots, pps)
+            self._page_size = PAGE_SIZE
+        else:
+            self.caches = model.init_cache(max_slots, self.max_seq_len,
+                                           quantized=quantized_cache)
         if mesh is not None:
+            if paged:
+                raise NotImplementedError(
+                    "paged cache + tensor parallelism: shard the page pools "
+                    "on their head axis (not wired yet); use the slot cache "
+                    "under a mesh")
             from qgemm_tpu.parallel.sharding import shard_kv_caches
             self.caches = shard_kv_caches(self.caches, mesh)
         self.positions = jnp.zeros((max_slots,), jnp.int32)
@@ -247,6 +277,8 @@ class ContinuousBatchingEngine:
 
         self._decode = jax.jit(self._decode_impl)
         self._prefill = jax.jit(self._prefill_impl, static_argnames=("plen",))
+        self._prefill_paged = jax.jit(self._prefill_paged_impl,
+                                      static_argnames=("plen",))
 
     # ------------------------------------------------------------- jit fns
     def _decode_impl(self, model, tok, pos, caches, key, temps, topps, topks):
@@ -288,6 +320,43 @@ class ContinuousBatchingEngine:
                                   top_k=topk, top_p=topp)[0]
         return first_tok, new_caches
 
+    def _prefill_paged_impl(self, model, prompt, plen_true, caches, slot,
+                            key, temp, topp, topk, plen):
+        """Paged prefill: run the bucket-padded prompt through the model
+        with a throwaway dense cache (batch 1), then write its K/V into the
+        slot's pages. ``plen`` is a multiple of the page size; logical
+        pages beyond the allocation point at the null page (reserved,
+        never read)."""
+        from qgemm_tpu.serving.paged_cache import paged_write_prompt
+        tmp = model.init_cache(1, plen)
+        logits, tmp = model.prefill(prompt, tmp)
+        new_caches = [
+            paged_write_prompt(pc, slot, t[0][0], t[1][0], plen_true)
+            for pc, t in zip(caches, tmp)]
+        from qgemm_tpu.ops.sampling import sample_logits
+        last_logits = jnp.take(logits[0], plen_true - 1, axis=0)
+        first_tok = sample_logits(last_logits[None], key, temperature=temp,
+                                  top_k=topk, top_p=topp)[0]
+        return first_tok, new_caches
+
+    # ------------------------------------------------------- paged plumbing
+    def _sync_page_tables(self):
+        from dataclasses import replace as _rep
+        pt = jnp.asarray(self._pt_host)
+        self.caches = [_rep(c, page_table=pt) for c in self.caches]
+
+    def _grow_slot(self, slot: int, n_tokens: int) -> bool:
+        """Ensure pages for ``n_tokens``; True if the device tables need a
+        sync. Raises only if the request could NEVER fit."""
+        new = self.alloc.grow(slot, n_tokens, self._page_size)
+        for j, p in new:
+            self._pt_host[slot, j] = p
+        return bool(new)
+
+    def _release_slot_pages(self, slot: int):
+        self.alloc.release(slot)
+        self._pt_host[slot, :] = 0
+
     # ---------------------------------------------------------------- admin
     def submit(self, req: Request):
         self.book.submit(req)
@@ -300,14 +369,50 @@ class ContinuousBatchingEngine:
             slot, req = adm
             plen = len(req.prompt)
             # bucket prompt length (pow2, clamped to the cache extent so the
-            # dynamic_update_slice block always fits) to bound recompilation
-            bucket = min(max(8, 1 << (plen - 1).bit_length()), self.max_seq_len)
+            # dynamic_update_slice block always fits) to bound recompilation;
+            # paged mode buckets in whole pages
+            floor = self._page_size if self.paged else 8
+            bucket = min(max(floor, 1 << (plen - 1).bit_length()),
+                         self.max_seq_len)
             prompt = jnp.asarray(
                 np.pad(np.asarray(req.prompt, np.int32), (0, bucket - plen))[None, :])
             self._key, sub = jax.random.split(self._key)
             eff_topk = self.top_k if req.top_k is None else req.top_k
+            if self.paged:
+                def _unadmit():
+                    """Undo this admission: free the slot, keep any OTHER
+                    requests the bookkeeper finished in the meantime."""
+                    self.book.cancel(req.id)
+                    for r in self.book.drain_finished():
+                        if r.id != req.id:
+                            self.finished.append(r)
+
+                # reserve the request's WORST CASE (prompt + max_new) at
+                # admission by allocating it eagerly: mid-decode growth can
+                # then never exhaust the pool. HBM scales with committed
+                # per-request maxima rather than slots x engine max_seq_len
+                # (requests that finish early on EOS release the tail).
+                worst = min(plen + req.max_new_tokens, self.max_seq_len)
+                need = self.alloc.pages_needed(worst, self._page_size)
+                if need > self.alloc.pages_per_slot:
+                    req.error = (f"request needs {need} pages > "
+                                 f"{self.alloc.pages_per_slot} per slot")
+                    req.done = True
+                    _unadmit()
+                    self.finished.append(req)
+                    continue
+                if need > self.alloc.n_free:
+                    # backpressure: not enough free pages NOW — requeue and
+                    # stop admitting until finishing requests release some
+                    _unadmit()
+                    req.done = False
+                    self.book.submit(req)
+                    return
+                if self._grow_slot(slot, worst):
+                    self._sync_page_tables()
             try:
-                first_tok, self.caches = self._prefill(
+                prefill_fn = self._prefill_paged if self.paged else self._prefill
+                first_tok, self.caches = prefill_fn(
                     self.model, prompt, jnp.int32(plen), self.caches,
                     jnp.int32(slot), sub, jnp.float32(req.temperature),
                     jnp.float32(req.top_p), jnp.int32(eff_topk), plen=bucket)
@@ -317,6 +422,8 @@ class ContinuousBatchingEngine:
                 req.error = f"{type(e).__name__}: {e}"
                 req.done = True
                 self.book.cancel(req.id)       # frees the slot
+                if self.paged:
+                    self._release_slot_pages(slot)
                 for r in self.book.drain_finished():
                     if r.id != req.id:
                         self.finished.append(r)
@@ -345,6 +452,8 @@ class ContinuousBatchingEngine:
             req.cancelled = True
             self.finished.append(req)
         else:
+            if self.paged:
+                self._release_slot_pages(info)
             for r in self.book.drain_finished():
                 r.done = True
                 if r.id == req_id:
@@ -362,10 +471,15 @@ class ContinuousBatchingEngine:
         """Engine-level throughput counters (BASELINE north star metric)."""
         import time
         wall = (time.perf_counter() - self._t_start) if self._t_start else 0.0
-        return {"tokens_generated": self.tokens_generated,
-                "steps": int(self.steps), "wall_s": round(wall, 3),
-                "tokens_per_s": round(self.tokens_generated / wall, 2)
-                if wall else 0.0}
+        st = {"tokens_generated": self.tokens_generated,
+              "steps": int(self.steps), "wall_s": round(wall, 3),
+              "tokens_per_s": round(self.tokens_generated / wall, 2)
+              if wall else 0.0}
+        if self.paged:
+            total = self.caches[0].n_pages - 1      # page 0 reserved
+            st["pages_in_use"] = total - self.alloc.n_free
+            st["pages_total"] = total
+        return st
 
     def step(self):
         """Admit waiting requests, run one decode step for all slots."""
@@ -376,6 +490,17 @@ class ContinuousBatchingEngine:
         active = self.book.active_mask()
         if not active.any():
             return False
+        if self.paged:
+            # ensure every active slot has a page for the position this
+            # decode step writes (pool exhaustion here raises — size the
+            # pool for the expected resident tokens, or lower max_slots;
+            # the admission path already applies queue backpressure)
+            pos_host = np.asarray(self.positions)
+            dirty = False
+            for slot in np.flatnonzero(active):
+                dirty |= self._grow_slot(int(slot), int(pos_host[slot]) + 1)
+            if dirty:
+                self._sync_page_tables()
         self._key, sub = jax.random.split(self._key)
         nxt, self.caches = self._decode(self.model, self.cur_tokens,
                                         self.positions, self.caches,
@@ -385,6 +510,10 @@ class ContinuousBatchingEngine:
         self.cur_tokens = nxt[:, None]
         self.book.record_step(np.asarray(nxt))
         self.tokens_generated += int(active.sum())
+        if self.paged:
+            freed = active & ~self.book.active_mask()
+            for slot in np.flatnonzero(freed):
+                self._release_slot_pages(int(slot))
         self.finished.extend(self.book.drain_finished())
         return True
 

@@ -118,3 +118,78 @@ def test_pages_are_shared_pool_not_per_slot():
     a.release(0)
     a.grow(2, 4 * PAGE_SIZE)
     assert set(a.slot_pages[2]) <= pages0 | {p for p in range(64)}
+
+
+# ---------------------------------------------------------------------------
+# engine integration
+# ---------------------------------------------------------------------------
+
+def _gpt(seed=0, max_seq_len=512):
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    cfg = GPTConfig(vocab_size=97, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=2, max_seq_len=max_seq_len)
+    return GPT.init(cfg, key=jax.random.PRNGKey(seed))
+
+
+def test_paged_engine_matches_dense_engine():
+    """Same model, same requests: the paged engine produces the dense
+    engine's transcripts (greedy), while holding far fewer cache rows."""
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+    model = _gpt(3)
+
+    def run(**kw):
+        eng = ContinuousBatchingEngine(model, max_slots=4, **kw)
+        for i in range(6):
+            eng.submit(Request(prompt=[1 + i, 2, 3], max_new_tokens=5))
+        fin = eng.run_to_completion()
+        return eng, sorted(tuple(r.generated) for r in fin)
+
+    _, dense = run()
+    eng, paged = run(paged=True)
+    assert dense == paged
+    st = eng.stats
+    assert st["pages_in_use"] == 0          # all slots released at the end
+    assert st["pages_total"] >= 4
+
+
+def test_paged_engine_oversubscribed_backpressure():
+    """A pool smaller than slots x max_seq_len still serves everything:
+    admissions wait for pages instead of failing."""
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+    model = _gpt(4)
+    # 4 slots x 512 max_seq_len = 16 pages fully provisioned; give 6 (+null)
+    eng = ContinuousBatchingEngine(model, max_slots=4, paged=True, n_pages=7)
+    for i in range(8):
+        eng.submit(Request(prompt=[1 + i] * 100, max_new_tokens=40))
+    fin = eng.run_to_completion()
+    assert len(fin) == 8
+    assert all(len(r.generated) == 40 and r.error is None for r in fin)
+
+
+def test_paged_engine_rejects_never_fitting_prompt():
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+    model = _gpt(5, max_seq_len=256)        # pages_per_slot = 2
+    eng = ContinuousBatchingEngine(model, max_slots=2, paged=True)
+    # prompt needs 2 pages (fits); max_new pushes past the slot's table —
+    # submit validation (book) rejects via max_seq_len first
+    with pytest.raises(ValueError):
+        eng.submit(Request(prompt=[1] * 250, max_new_tokens=100))
+
+
+def test_paged_engine_cancel_releases_pages():
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+    model = _gpt(6)
+    eng = ContinuousBatchingEngine(model, max_slots=2, paged=True)
+    reqs = [Request(prompt=[1 + i] * 200, max_new_tokens=50)
+            for i in range(2)]
+    for r in reqs:
+        eng.submit(r)
+    eng.step()
+    used_before = eng.stats["pages_in_use"]
+    assert used_before >= 4                 # 2 slots x 2 pages (200 toks)
+    assert eng.cancel(reqs[0].id)
+    assert eng.stats["pages_in_use"] < used_before
+    fin = eng.run_to_completion()
+    by_id = {r.id: r for r in fin}
+    assert by_id[reqs[0].id].cancelled
+    assert len(by_id[reqs[1].id].generated) == 50
