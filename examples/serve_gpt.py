@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--scheduler", default="auto",
                     choices=["auto", "python", "native"])
     ap.add_argument("--no-quantize", action="store_true")
+    ap.add_argument("--paged", action="store_true",
+                    help="paged int8 KV cache: HBM scales with committed "
+                         "request maxima, not slots x max-seq-len")
+    ap.add_argument("--n-pages", type=int, default=0,
+                    help="page-pool size (0 = full provisioning)")
     ap.add_argument("--tp", type=int, default=0,
                     help="tensor-parallel ways (BASELINE config 5): shard "
                          "the int8 model over a (1, tp) mesh — needs >= tp "
@@ -65,7 +70,9 @@ def main():
                          devices=jax.devices()[:args.tp])
         model = shard_quantized_model(model, mesh)
     engine = ContinuousBatchingEngine(model, max_slots=args.slots,
-                                      scheduler=args.scheduler, mesh=mesh)
+                                      scheduler=args.scheduler, mesh=mesh,
+                                      paged=args.paged,
+                                      n_pages=args.n_pages or None)
     print(f"model: {model.num_params()/1e6:.1f}M params "
           f"({'bf16/f32' if args.no_quantize else 'int8'}); "
           f"scheduler: {engine.scheduler}; slots: {args.slots}"

@@ -103,6 +103,37 @@ def main():
         assert err < 6e-3, f"decode B={b}: {err}"
     results["decode_parity"] = "ok"
 
+    # 5. paged decode attention (scalar-prefetch kernel) == gather oracle
+    from qgemm_tpu.serving.paged_cache import (PAGE_SIZE, PageAllocator,
+                                               PagedKVCache, init_paged_cache,
+                                               paged_attention_reference,
+                                               paged_write_prompt)
+    b, h, d, pps = 4, 4, 128, 6
+    n_pg = 1 + b * pps
+    cache = init_paged_cache(h, d, n_pages=n_pg, batch=b, pages_per_slot=pps)
+    alloc = PageAllocator(n_pg, b, pps)
+    lens = [700, 129, 40, 512]
+    pt = np.zeros((b, pps), np.int32)
+    for slot, ln in enumerate(lens):
+        for j, p in alloc.grow(slot, ln):
+            pt[slot, j] = p
+    cache = PagedKVCache(kq=cache.kq, kc=cache.kc, vq=cache.vq, vc=cache.vc,
+                         page_table=jnp.asarray(pt), page_size=PAGE_SIZE)
+    for slot, ln in enumerate(lens):
+        bucket = -(-ln // PAGE_SIZE) * PAGE_SIZE
+        kp = jnp.asarray(rng.normal(size=(h, bucket, d)).astype(np.float32))
+        vp = jnp.asarray(rng.normal(size=(h, bucket, d)).astype(np.float32))
+        cache = jax.jit(paged_write_prompt, static_argnames=())(
+            cache, slot, kp, vp, ln)
+    from qgemm_tpu.ops.pallas.paged_attention import paged_decode_attention
+    jl = jnp.asarray(lens, jnp.int32)
+    qp_ = jnp.asarray(rng.normal(size=(b, h, 1, d)).astype(np.float32))
+    got = paged_decode_attention(qp_, cache, jl)
+    ref = paged_attention_reference(qp_, cache, jl)
+    err = float(jnp.max(jnp.abs(got - ref)))
+    assert err < 5e-3, f"paged kernel vs oracle: {err}"   # bf16-dot tolerance
+    results["paged_parity"] = "ok"
+
     print(json.dumps({"ok": True, **results}))
 
 
