@@ -144,3 +144,26 @@ def test_moe_gpt_trains():
     m2 = sgd_step(m, grads, 0.1)
     l1 = loss_fn(m2)
     assert float(l1) < float(l0)
+
+
+def test_moe_gpt_under_continuous_batching_engine():
+    """The MoE model family serves through the same engine (dense + paged
+    caches are attention-level; the routed FFN is orthogonal)."""
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+
+    cfg = GPTConfig(vocab_size=64, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=2, max_seq_len=128, n_experts=4, moe_top_k=2)
+    model = GPT.init(cfg, key=jax.random.PRNGKey(2)).quantize()
+    eng = ContinuousBatchingEngine(model, max_slots=2)
+    for i in range(3):
+        eng.submit(Request(prompt=[1 + i, 2], max_new_tokens=4))
+    fin = eng.run_to_completion()
+    assert len(fin) == 3 and all(len(r.generated) == 4 for r in fin)
+
+    # paged engine too
+    eng2 = ContinuousBatchingEngine(model, max_slots=2, paged=True)
+    for i in range(3):
+        eng2.submit(Request(prompt=[1 + i, 2], max_new_tokens=4))
+    fin2 = {tuple(r.generated) for r in eng2.run_to_completion()}
+    assert fin2 == {tuple(r.generated) for r in fin}
