@@ -9,7 +9,7 @@ HBM scales with the tokens actually resident, so the same chip holds more
 concurrent slots (or longer worst-case contexts) for mixed-length traffic.
 
 TPU-native design constraints drive the layout:
-  * everything is static-shape under jit — the pool ``[H, P, page, D]``
+  * everything is static-shape under jit — the pool ``[P, H, page, D]``
     and page tables ``[B, pages_per_slot]`` never change shape; occupancy
     is data (the allocator is host-side bookkeeping, like the scheduler);
   * page size is 128 (the lane-tile row count), so a page is exactly one
@@ -45,7 +45,10 @@ _EPS = 1e-12
 class PagedKVCache:
     """One layer's paged cache.
 
-    kq/vq: int8 pools [H, P, page, D]; kc/vc: f32 scales [H, P, page, 1].
+    kq/vq: int8 pools [P, H, page, D]; kc/vc: f32 scales [P, H, 1, page]
+    — PAGE-MAJOR, and the scales keep positions on the LANE axis (a
+    [..., page, 1] layout puts one float on each 128-lane row: its DMA
+    moves 128x the bytes).
     page_table: int32 [B, pages_per_slot] — logical page j of slot b lives
     in physical page page_table[b, j]. Unallocated entries hold 0 and are
     never read (attention masks strictly by per-slot length).
@@ -59,16 +62,16 @@ class PagedKVCache:
 
     @property
     def n_pages(self) -> int:
-        return self.kq.shape[1]
+        return self.kq.shape[0]
 
 
 def init_paged_cache(n_heads: int, head_dim: int, n_pages: int,
                      batch: int, pages_per_slot: int,
                      page_size: int = PAGE_SIZE) -> PagedKVCache:
-    z8 = lambda d: jnp.zeros((n_heads, n_pages, page_size, d), jnp.int8)
-    zf = lambda d: jnp.ones((n_heads, n_pages, page_size, d), jnp.float32)
+    z8 = lambda: jnp.zeros((n_pages, n_heads, page_size, head_dim), jnp.int8)
+    zf = lambda: jnp.ones((n_pages, n_heads, 1, page_size), jnp.float32)
     return PagedKVCache(
-        kq=z8(head_dim), kc=zf(1), vq=z8(head_dim), vc=zf(1),
+        kq=z8(), kc=zf(), vq=z8(), vc=zf(),
         page_table=jnp.zeros((batch, pages_per_slot), jnp.int32),
         page_size=page_size)
 
@@ -140,13 +143,17 @@ def paged_write_step(cache: PagedKVCache, k_new, v_new, positions):
     del b
 
     def scat(pool, val):
-        # pool [H, P, page, *]; write val [B, H, *] at (:, phys_b, off_b)
-        return pool.at[:, phys, off].set(
-            jnp.moveaxis(val, 0, 1), mode="drop")
+        # values pool [P, H, page, D]; write val [B, H, D] at (phys_b, :, off_b)
+        # (advanced indices split by a slice put the B axis first)
+        return pool.at[phys, :, off].set(val, mode="drop")
+
+    def scat_scale(pool, val):
+        # scales pool [P, H, 1, page]; write val [B, H] at (phys_b, :, 0, off_b)
+        return pool.at[phys, :, 0, off].set(val[..., 0], mode="drop")
 
     return PagedKVCache(
-        kq=scat(cache.kq, kq), kc=scat(cache.kc, kc),
-        vq=scat(cache.vq, vq), vc=scat(cache.vc, vc),
+        kq=scat(cache.kq, kq), kc=scat_scale(cache.kc, kc),
+        vq=scat(cache.vq, vq), vc=scat_scale(cache.vc, vc),
         page_table=cache.page_table, page_size=ps)
 
 
@@ -166,9 +173,12 @@ def paged_write_prompt(cache: PagedKVCache, slot, k_prompt, v_prompt,
         phys = cache.page_table[slot, j]
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, j * ps, ps, axis=1)
         put = lambda pool, val: jax.lax.dynamic_update_slice(
-            pool, val[:, None], (0, phys, 0, 0))
-        return (put(kq_p, sl(kq)), put(kc_p, sl(kc)),
-                put(vq_p, sl(vq)), put(vc_p, sl(vc))), None
+            pool, val[None], (phys, 0, 0, 0))
+        # scales [H, page, 1] -> lane-major [1, H, 1, page]
+        put_s = lambda pool, val: jax.lax.dynamic_update_slice(
+            pool, val[..., 0][:, None][None], (phys, 0, 0, 0))
+        return (put(kq_p, sl(kq)), put_s(kc_p, sl(kc)),
+                put(vq_p, sl(vq)), put_s(vc_p, sl(vc))), None
 
     (kq_p, kc_p, vq_p, vc_p), _ = jax.lax.scan(
         write_page, (cache.kq, cache.kc, cache.vq, cache.vc),
@@ -185,13 +195,19 @@ def gather_slot_kv(cache: PagedKVCache, max_pages: Optional[int] = None):
         else cache.page_table[:, :max_pages]
 
     def gather(pool):
-        # pool [H, P, page, *] -> [B, H, n_log*page, *]
-        g = pool[:, pt]                      # [H, B, n_log, page, *]
-        h, b, n, p, d = g.shape
-        return jnp.moveaxis(g, 1, 0).reshape(b, h, n * p, d)
+        # values pool [P, H, page, D] -> [B, H, n_log*page, D]
+        g = pool[pt]                         # [B, n_log, H, page, D]
+        b, n, h, p, d = g.shape
+        return g.transpose(0, 2, 1, 3, 4).reshape(b, h, n * p, d)
 
-    return (gather(cache.kq), gather(cache.kc),
-            gather(cache.vq), gather(cache.vc))
+    def gather_scale(pool):
+        # scales pool [P, H, 1, page] -> [B, H, n_log*page, 1]
+        g = pool[pt][:, :, :, 0]             # [B, n_log, H, page]
+        b, n, h, p = g.shape
+        return g.transpose(0, 2, 1, 3).reshape(b, h, n * p)[..., None]
+
+    return (gather(cache.kq), gather_scale(cache.kc),
+            gather(cache.vq), gather_scale(cache.vc))
 
 
 def paged_attention_reference(q, cache: PagedKVCache, lengths,
