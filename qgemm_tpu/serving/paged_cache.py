@@ -187,6 +187,32 @@ def paged_write_prompt(cache: PagedKVCache, slot, k_prompt, v_prompt,
                         page_table=cache.page_table, page_size=ps)
 
 
+def paged_write_prompt_batch(cache: PagedKVCache, k_prompts, v_prompts,
+                             plen_true):
+    """Prefill ALL slots at once: k/v_prompts [B, H, S_bucket, D] with
+    S_bucket a multiple of page_size. One scatter per logical page (the
+    per-slot variant inlines B x layers scans — too big a program for a
+    whole-model prefill). Slots whose table entry is 0 write the null page
+    (harmless: never read)."""
+    ps = cache.page_size
+    n_log = k_prompts.shape[2] // ps
+    kq, kc = quantize_rows(k_prompts)                  # [B, H, S, D]
+    vq, vc = quantize_rows(v_prompts)
+    kq_p, kc_p, vq_p, vc_p = cache.kq, cache.kc, cache.vq, cache.vc
+    for j in range(n_log):
+        phys = cache.page_table[:, j]                  # [B]
+        sl = slice(j * ps, (j + 1) * ps)
+        kq_p = kq_p.at[phys].set(kq[:, :, sl], mode="drop")
+        vq_p = vq_p.at[phys].set(vq[:, :, sl], mode="drop")
+        # scales pool is lane-major [P, H, 1, page]
+        kc_p = kc_p.at[phys].set(
+            kc[:, :, sl, 0][:, :, None, :], mode="drop")
+        vc_p = vc_p.at[phys].set(
+            vc[:, :, sl, 0][:, :, None, :], mode="drop")
+    return PagedKVCache(kq=kq_p, kc=kc_p, vq=vq_p, vc=vc_p,
+                        page_table=cache.page_table, page_size=ps)
+
+
 def gather_slot_kv(cache: PagedKVCache, max_pages: Optional[int] = None):
     """jnp oracle: materialize each slot's logical K/V [B, H, S_max, D]
     (+ scales) by gathering its pages. S_max = pages_per_slot * page_size

@@ -39,6 +39,63 @@ def time_generate(model, prompt, n, repeats=3, quantized_cache=False):
     return best
 
 
+def _paged_generate(model, prompt, n_new, caches):
+    """Greedy generation over pre-allocated paged caches: dense-cache
+    prefill, page writes, then the decode scan (attention routes through
+    the scalar-prefetch paged kernel)."""
+    from qgemm_tpu.serving.paged_cache import paged_write_prompt_batch
+
+    b, s_p = prompt.shape
+    ps = caches[0].page_size
+    bucket = -(-s_p // ps) * ps
+    tmp = model.init_cache(b, bucket)
+    logits, tmp = model.prefill(
+        jnp.pad(prompt, ((0, 0), (0, bucket - s_p))), tmp)
+    caches = [paged_write_prompt_batch(pc, t[0], t[1], s_p)
+              for pc, t in zip(caches, tmp)]
+    tok0 = jnp.argmax(logits[:, s_p - 1, :], axis=-1)[:, None]
+
+    def step(carry, t):
+        tok, caches = carry
+        logits, caches = model.decode_step(
+            tok, jnp.full((b,), s_p + t, jnp.int32), caches)
+        nxt = jnp.argmax(logits, axis=-1)[:, None]
+        return (nxt, caches), tok[:, 0]
+
+    (_, _), toks = jax.lax.scan(step, (tok0, caches), jnp.arange(n_new))
+    return toks.T
+
+
+def time_generate_paged(model, prompt, n, n_max, repeats=3):
+    from qgemm_tpu.serving.paged_cache import (PAGE_SIZE, PageAllocator,
+                                               PagedKVCache, init_paged_cache)
+    import numpy as np
+    cfg = model.cfg
+    b, s_p = prompt.shape
+    pps = -(-(s_p + n_max) // PAGE_SIZE)
+    npg = 1 + b * pps
+    dh = cfg.d_model // cfg.n_heads
+    alloc = PageAllocator(npg, b, pps)
+    pt = np.zeros((b, pps), np.int32)
+    for slot in range(b):
+        for j, p in alloc.grow(slot, s_p + n_max):
+            pt[slot, j] = p
+    ptj = jnp.asarray(pt)
+    caches = [init_paged_cache(cfg.n_heads, dh, npg, b, pps)
+              for _ in model.blocks]
+    from dataclasses import replace
+    caches = [replace(c, page_table=ptj) for c in caches]
+
+    f = jax.jit(lambda m, p, c: _paged_generate(m, p, n, c).sum())
+    float(f(model, prompt, caches))  # compile
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(f(model, prompt, caches))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=24)
@@ -88,6 +145,14 @@ def main():
         results[name] = tps
         log(f"{name}: {per_tok*1e3:.3f} ms/step -> {tps:,.0f} tokens/s "
             f"(batch {args.batch})")
+
+    # paged int8 cache (scalar-prefetch kernel over block tables)
+    t_hi = time_generate_paged(q, prompt, args.n_hi, args.n_hi)
+    t_lo = time_generate_paged(q, prompt, args.n_lo, args.n_hi)
+    per_tok = (t_hi - t_lo) / (args.n_hi - args.n_lo)
+    results["int8+paged"] = args.batch / per_tok
+    log(f"int8+paged: {per_tok*1e3:.3f} ms/step -> "
+        f"{results['int8+paged']:,.0f} tokens/s (batch {args.batch})")
 
     best = max(results, key=results.get)
     out = {

@@ -193,3 +193,24 @@ def test_paged_engine_cancel_releases_pages():
     by_id = {r.id: r for r in fin}
     assert by_id[reqs[0].id].cancelled
     assert len(by_id[reqs[1].id].generated) == 50
+
+
+def test_paged_write_prompt_batch_matches_per_slot():
+    b, h, d = 3, 2, 64
+    lengths = (40, 200, 129)
+    cache, k_dense, v_dense, jl = _filled_cache(b, h, d, lengths)
+    from qgemm_tpu.serving.paged_cache import (init_paged_cache,
+                                               paged_write_prompt_batch)
+    # rebuild an identical cache via ONE batched write (shared bucket)
+    cache2 = init_paged_cache(h, d, n_pages=16, batch=b, pages_per_slot=3)
+    from dataclasses import replace
+    cache2 = replace(cache2, page_table=cache.page_table)
+    s_max = 3 * PAGE_SIZE
+    kb = jnp.asarray(k_dense)  # [B, H, S_max, D] (zeros beyond each bucket)
+    vb = jnp.asarray(v_dense)
+    cache2 = jax.jit(paged_write_prompt_batch)(cache2, kb, vb, max(lengths))
+    q = jnp.asarray(RNG.normal(size=(b, h, 1, d)).astype(np.float32))
+    a = paged_attention_reference(q, cache, jl)
+    bq = paged_attention_reference(q, cache2, jl)
+    # identical int8 contents within the valid region
+    assert float(jnp.max(jnp.abs(a - bq))) < 1e-5
