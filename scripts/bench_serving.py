@@ -108,6 +108,10 @@ def main():
     ap.add_argument("--n-hi", type=int, default=128)
     ap.add_argument("--n-lo", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--paged", action="store_true",
+                    help="also time the paged int8 cache path (adds a "
+                         "large one-off compile: ~10 min for 24L over the "
+                         "remote tunnel)")
     ap.add_argument("--int8-only", action="store_true",
                     help="skip the bf16 run and init straight into int8 "
                          "(layer-by-layer; for models whose float weights "
@@ -146,13 +150,14 @@ def main():
         log(f"{name}: {per_tok*1e3:.3f} ms/step -> {tps:,.0f} tokens/s "
             f"(batch {args.batch})")
 
-    # paged int8 cache (scalar-prefetch kernel over block tables)
-    t_hi = time_generate_paged(q, prompt, args.n_hi, args.n_hi)
-    t_lo = time_generate_paged(q, prompt, args.n_lo, args.n_hi)
-    per_tok = (t_hi - t_lo) / (args.n_hi - args.n_lo)
-    results["int8+paged"] = args.batch / per_tok
-    log(f"int8+paged: {per_tok*1e3:.3f} ms/step -> "
-        f"{results['int8+paged']:,.0f} tokens/s (batch {args.batch})")
+    if args.paged:
+        # paged int8 cache (scalar-prefetch kernel over block tables)
+        t_hi = time_generate_paged(q, prompt, args.n_hi, args.n_hi)
+        t_lo = time_generate_paged(q, prompt, args.n_lo, args.n_hi)
+        per_tok = (t_hi - t_lo) / (args.n_hi - args.n_lo)
+        results["int8+paged"] = args.batch / per_tok
+        log(f"int8+paged: {per_tok*1e3:.3f} ms/step -> "
+            f"{results['int8+paged']:,.0f} tokens/s (batch {args.batch})")
 
     best = max(results, key=results.get)
     out = {
