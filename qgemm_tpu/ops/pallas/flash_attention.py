@@ -176,6 +176,16 @@ def _flash_attention_fwd_impl(q, k, v, causal: bool = False):
     n_k = skp // bk
     grid = (b * h, sqp // bq, n_k)
 
+    if causal:
+        # fully-masked K blocks (above the diagonal) contribute nothing;
+        # mapping their block index to the diagonal block makes consecutive
+        # indices identical, so Pallas skips the redundant DMA — the
+        # skipped steps cost neither compute (pl.when) nor HBM traffic
+        kv_ix = lambda bh, iq, kk: (bh, jnp.minimum(kk, (iq * bq + bq - 1)
+                                                    // bk), 0)
+    else:
+        kv_ix = lambda bh, iq, kk: (bh, kk, 0)
+
     out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, causal=causal, n_k=n_k,
                           bq=bq, bk=bk, sq_valid=sq, sk_valid=sk),
@@ -183,10 +193,8 @@ def _flash_attention_fwd_impl(q, k, v, causal: bool = False):
         in_specs=[
             pl.BlockSpec((1, bq, dp), lambda bh, iq, kk: (bh, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, dp), lambda bh, iq, kk: (bh, kk, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, dvp), lambda bh, iq, kk: (bh, kk, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dp), kv_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dvp), kv_ix, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, bq, dvp), lambda bh, iq, kk: (bh, iq, 0),
@@ -351,14 +359,20 @@ def _flash_attention_bwd_impl(q, k, v, out, lse, g, causal: bool):
     def spec(bs, ix):
         return pl.BlockSpec(bs, ix, memory_space=pltpu.VMEM)
 
+    if causal:
+        # dedupe the DMA of skipped above-diagonal K/V blocks (see fwd)
+        kv_ix = lambda bh, iq, kk: (bh, jnp.minimum(kk, (iq * bq + bq - 1)
+                                                    // bk), 0)
+    else:
+        kv_ix = lambda bh, iq, kk: (bh, kk, 0)
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale, causal=causal,
                           n_k=n_k, bq=bq, bk=bk, sq_valid=sq, sk_valid=sk),
         grid=(b * h, n_q, n_k),
         in_specs=[
             spec((1, bq, dp), lambda bh, iq, kk: (bh, iq, 0)),
-            spec((1, bk, dp), lambda bh, iq, kk: (bh, kk, 0)),
-            spec((1, bk, dvp), lambda bh, iq, kk: (bh, kk, 0)),
+            spec((1, bk, dp), kv_ix),
+            spec((1, bk, dvp), kv_ix),
             spec((1, bq, dvp), lambda bh, iq, kk: (bh, iq, 0)),
             spec((1, bq, 1), lambda bh, iq, kk: (bh, iq, 0)),
             spec((1, bq, 1), lambda bh, iq, kk: (bh, iq, 0)),
@@ -370,17 +384,24 @@ def _flash_attention_bwd_impl(q, k, v, out, lse, g, causal: bool):
         interpret=_interpret(),
     )(*common_in)
 
+    if causal:
+        # skipped steps here are at the START of the iq walk (q blocks
+        # strictly above the K diagonal) — clamp up to the first
+        # contributing block so their fetches dedupe
+        q_ix = lambda bh, kk, iq: (bh, jnp.maximum(iq, (kk * bk) // bq), 0)
+    else:
+        q_ix = lambda bh, kk, iq: (bh, iq, 0)
     dk, dvv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, scale=scale, causal=causal,
                           n_q=n_q, bq=bq, bk=bk, sq_valid=sq, sk_valid=sk),
         grid=(b * h, n_k, n_q),
         in_specs=[
-            spec((1, bq, dp), lambda bh, kk, iq: (bh, iq, 0)),
+            spec((1, bq, dp), q_ix),
             spec((1, bk, dp), lambda bh, kk, iq: (bh, kk, 0)),
             spec((1, bk, dvp), lambda bh, kk, iq: (bh, kk, 0)),
-            spec((1, bq, dvp), lambda bh, kk, iq: (bh, iq, 0)),
-            spec((1, bq, 1), lambda bh, kk, iq: (bh, iq, 0)),
-            spec((1, bq, 1), lambda bh, kk, iq: (bh, iq, 0)),
+            spec((1, bq, dvp), q_ix),
+            spec((1, bq, 1), q_ix),
+            spec((1, bq, 1), q_ix),
         ],
         out_specs=[
             spec((1, bk, dp), lambda bh, kk, iq: (bh, kk, 0)),
