@@ -174,9 +174,13 @@ class MultiHeadAttention:
                 assert q.shape[2] == 1, "paged cache is decode-only"
                 positions = jnp.broadcast_to(
                     jnp.asarray(cache_index).reshape(-1), (q.shape[0],))
+                if self._tp:
+                    out, new_cache = _tp_paged_decode(
+                        self, q, k, v, kv_cache, positions)
+                    return self.w_o(self._merge(out)), new_cache
                 new_cache = paged_write_step(kv_cache, k, v, positions)
                 lengths = positions + 1
-                if jax.default_backend() != "cpu" and not self._tp:
+                if jax.default_backend() != "cpu":
                     from qgemm_tpu.ops.pallas.paged_attention import \
                         paged_decode_attention
                     out = paged_decode_attention(q, new_cache, lengths)
@@ -263,6 +267,48 @@ class MultiHeadAttention:
         out = _dispatch_attention(q, k, v, causal=causal,
                                   allow_kernels=not self._tp)
         return self.w_o(self._merge(out))
+
+
+def _tp_paged_decode(mha, q, k, v, cache, positions):
+    """Paged decode under tensor parallelism: pools are head-sharded over
+    the model axis, heads are embarrassingly parallel, so the write +
+    kernel run INSIDE shard_map on each device's own head slice (GSPMD
+    cannot partition a pallas_call; page tables and positions replicate).
+    Output stays head-sharded — it feeds the row-parallel W_O with no
+    collective here."""
+    from jax.sharding import PartitionSpec as P
+
+    from qgemm_tpu.parallel.tp_ops import shard_map
+    from qgemm_tpu.serving.paged_cache import (PagedKVCache,
+                                               paged_attention_reference,
+                                               paged_write_step)
+
+    mesh, axis = mha.w_o.mesh, mha.w_o.tp_axis
+    page_size = cache.page_size
+
+    def body(q, k, v, kq, kc, vq, vc, pt, pos):
+        local = PagedKVCache(kq=kq, kc=kc, vq=vq, vc=vc, page_table=pt,
+                             page_size=page_size)
+        local = paged_write_step(local, k, v, pos)
+        lengths = pos + 1
+        if jax.default_backend() != "cpu":
+            from qgemm_tpu.ops.pallas.paged_attention import \
+                paged_decode_attention
+            out = paged_decode_attention(q, local, lengths)
+        else:
+            out = paged_attention_reference(q, local, lengths)
+        return out, local.kq, local.kc, local.vq, local.vc
+
+    hs = P(None, axis)          # [B, H, ...] activations / [P, H, ...] pools
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(hs, hs, hs, hs, hs, hs, hs, P(), P()),
+                  out_specs=(hs, hs, hs, hs, hs), check_rep=False)
+    out, kq, kc, vq, vc = f(q, k, v, cache.kq, cache.kc, cache.vq, cache.vc,
+                            cache.page_table, positions)
+    new_cache = PagedKVCache(kq=kq, kc=kc, vq=vq, vc=vc,
+                             page_table=cache.page_table,
+                             page_size=page_size)
+    return out, new_cache
 
 
 def _dispatch_attention(q, k, v, causal: bool, allow_kernels: bool = True):

@@ -120,6 +120,25 @@ def shard_kv_caches(caches, mesh: Mesh, axis: str = "model"):
     return jax.tree_util.tree_map(put, caches)
 
 
+def shard_paged_caches(caches, mesh: Mesh, axis: str = "model"):
+    """Head-shard every paged pool [P, H, page, *] over the model axis
+    (page tables replicate — paging is identical on every device; each
+    device's pool holds its own heads' pages)."""
+    def put_one(cache):
+        from dataclasses import replace
+        def pool(leaf):
+            spec = P(None, axis)
+            if not _divisible(leaf, spec, mesh):
+                spec = _REP
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return replace(
+            cache, kq=pool(cache.kq), kc=pool(cache.kc),
+            vq=pool(cache.vq), vc=pool(cache.vc),
+            page_table=jax.device_put(cache.page_table,
+                                      NamedSharding(mesh, _REP)))
+    return [put_one(c) for c in caches]
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Shard leading (batch) dim of every array in a pytree."""
     return jax.tree_util.tree_map(

@@ -260,12 +260,11 @@ class ContinuousBatchingEngine:
                                            quantized=quantized_cache)
         if mesh is not None:
             if paged:
-                raise NotImplementedError(
-                    "paged cache + tensor parallelism: shard the page pools "
-                    "on their head axis (not wired yet); use the slot cache "
-                    "under a mesh")
-            from qgemm_tpu.parallel.sharding import shard_kv_caches
-            self.caches = shard_kv_caches(self.caches, mesh)
+                from qgemm_tpu.parallel.sharding import shard_paged_caches
+                self.caches = shard_paged_caches(self.caches, mesh)
+            else:
+                from qgemm_tpu.parallel.sharding import shard_kv_caches
+                self.caches = shard_kv_caches(self.caches, mesh)
         self.positions = jnp.zeros((max_slots,), jnp.int32)
         self.cur_tokens = jnp.zeros((max_slots, 1), jnp.int32)
         self.temps = jnp.zeros((max_slots,), jnp.float32)   # 0 = greedy

@@ -214,3 +214,27 @@ def test_paged_write_prompt_batch_matches_per_slot():
     bq = paged_attention_reference(q, cache2, jl)
     # identical int8 contents within the valid region
     assert float(jnp.max(jnp.abs(a - bq))) < 1e-5
+
+
+def test_paged_engine_under_mesh_matches_single_device():
+    """Paged serving + tensor parallelism: head-sharded pools, the paged
+    write+attend runs inside shard_map, transcripts match the single-device
+    paged engine exactly."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from qgemm_tpu.parallel.mesh import make_mesh
+    from qgemm_tpu.parallel.sharding import shard_quantized_model
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+
+    mesh = make_mesh((2, 4), ("data", "model"))
+    qm = _gpt(12, max_seq_len=512).quantize()
+    qms = shard_quantized_model(qm, mesh)
+
+    def run(model, **kw):
+        eng = ContinuousBatchingEngine(model, max_slots=4, paged=True, **kw)
+        for i in range(6):
+            eng.submit(Request(prompt=[1 + i, 2, 3], max_new_tokens=5))
+        return sorted(tuple(r.generated)
+                      for r in eng.run_to_completion())
+
+    assert run(qm) == run(qms, mesh=mesh)
