@@ -88,6 +88,20 @@ int qg_sched_submit(void *h, int64_t req_id, const int32_t *prompt,
   return 0;
 }
 
+// Same as qg_sched_submit but inserts at the FRONT of the waiting queue
+// (used to requeue a backpressured admission without losing FIFO order).
+int qg_sched_submit_front(void *h, int64_t req_id, const int32_t *prompt,
+                          int32_t plen, int32_t max_new_tokens,
+                          int32_t eos_token) {
+  auto *s = static_cast<Scheduler *>(h);
+  std::lock_guard<std::mutex> g(s->mu);
+  if (plen + max_new_tokens > s->max_seq_len) return -1;
+  s->waiting.push_front(Request{req_id,
+                                std::vector<int32_t>(prompt, prompt + plen),
+                                max_new_tokens, eos_token, {}});
+  return 0;
+}
+
 // Pop the next admissible request into a free slot. Returns the slot id and
 // fills req_id/plen, or -1 when no free slot or nothing waiting. The caller
 // must then prefill and call qg_sched_admitted with the first sampled token.

@@ -388,7 +388,8 @@ def _flash_attention_bwd_impl(q, k, v, out, lse, g, causal: bool):
         # skipped steps here are at the START of the iq walk (q blocks
         # strictly above the K diagonal) — clamp up to the first
         # contributing block so their fetches dedupe
-        q_ix = lambda bh, kk, iq: (bh, jnp.maximum(iq, (kk * bk) // bq), 0)
+        q_ix = lambda bh, kk, iq: (
+            bh, jnp.minimum(jnp.maximum(iq, (kk * bk) // bq), n_q - 1), 0)
     else:
         q_ix = lambda bh, kk, iq: (bh, iq, 0)
     dk, dvv = pl.pallas_call(

@@ -65,12 +65,15 @@ class _PyBookkeeper:
         self.finished: List[Request] = []
         self.steps = 0
 
-    def submit(self, req: Request):
+    def submit(self, req: Request, front: bool = False):
         if len(req.prompt) + req.max_new_tokens > self.max_seq_len:
             raise ValueError(
                 f"request {req.id}: prompt {len(req.prompt)} + "
                 f"{req.max_new_tokens} exceeds max_seq_len {self.max_seq_len}")
-        self.waiting.append(req)
+        if front:
+            self.waiting.insert(0, req)
+        else:
+            self.waiting.append(req)
 
     def next_admission(self):
         if not self.waiting or self.active.all():
@@ -146,9 +149,9 @@ class _NativeBookkeeper:
         self._sched = NativeScheduler(max_slots, max_seq_len)
         self._by_id: Dict[int, Request] = {}
 
-    def submit(self, req: Request):
+    def submit(self, req: Request, front: bool = False):
         self._sched.submit(req.id, req.prompt, req.max_new_tokens,
-                           req.eos_token)
+                           req.eos_token, front=front)
         self._by_id[req.id] = req
 
     def next_admission(self):
@@ -329,9 +332,8 @@ class ContinuousBatchingEngine:
         from qgemm_tpu.serving.paged_cache import paged_write_prompt
         tmp = model.init_cache(1, plen)
         logits, tmp = model.prefill(prompt, tmp)
-        new_caches = [
-            paged_write_prompt(pc, slot, t[0][0], t[1][0], plen_true)
-            for pc, t in zip(caches, tmp)]
+        new_caches = [paged_write_prompt(pc, slot, t[0][0], t[1][0])
+                      for pc, t in zip(caches, tmp)]
         from qgemm_tpu.ops.sampling import sample_logits
         last_logits = jnp.take(logits[0], plen_true - 1, axis=0)
         first_tok = sample_logits(last_logits[None], key, temperature=temp,
@@ -393,19 +395,24 @@ class ContinuousBatchingEngine:
                 # (requests that finish early on EOS release the tail).
                 worst = min(plen + req.max_new_tokens, self.max_seq_len)
                 need = self.alloc.pages_needed(worst, self._page_size)
-                if need > self.alloc.pages_per_slot:
+                pool_cap = self.caches[0].n_pages - 1     # page 0 reserved
+                if need > min(self.alloc.pages_per_slot, pool_cap):
+                    # could NEVER fit (even with the pool empty) — finish
+                    # with an error instead of backpressuring forever
                     req.error = (f"request needs {need} pages > "
-                                 f"{self.alloc.pages_per_slot} per slot")
+                                 f"{min(self.alloc.pages_per_slot, pool_cap)}"
+                                 " available per request")
                     req.done = True
                     _unadmit()
                     self.finished.append(req)
                     continue
                 if need > self.alloc.n_free:
-                    # backpressure: not enough free pages NOW — requeue and
-                    # stop admitting until finishing requests release some
+                    # backpressure: not enough free pages NOW — requeue at
+                    # the FRONT (FIFO preserved, no starvation) and stop
+                    # admitting until finishing requests release pages
                     _unadmit()
                     req.done = False
-                    self.book.submit(req)
+                    self.book.submit(req, front=True)
                     return
                 if self._grow_slot(slot, worst):
                     self._sync_page_tables()

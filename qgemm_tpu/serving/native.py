@@ -34,6 +34,8 @@ def _load():
     lib.qg_sched_destroy.argtypes = [c.c_void_p]
     lib.qg_sched_submit.argtypes = [c.c_void_p, i64, i32p, i32, i32, i32]
     lib.qg_sched_submit.restype = c.c_int
+    lib.qg_sched_submit_front.argtypes = [c.c_void_p, i64, i32p, i32, i32, i32]
+    lib.qg_sched_submit_front.restype = c.c_int
     lib.qg_sched_next_admission.argtypes = [c.c_void_p, i64p, i32p]
     lib.qg_sched_next_admission.restype = i32
     lib.qg_sched_slot_prompt.argtypes = [c.c_void_p, i32, i32p, i32]
@@ -91,11 +93,12 @@ class NativeScheduler:
             self._h = None
 
     def submit(self, req_id: int, prompt, max_new_tokens: int,
-               eos_token: int | None = None) -> None:
+               eos_token: int | None = None, front: bool = False) -> None:
         arr, ptr = _i32arr(prompt)
-        rc = self._lib.qg_sched_submit(
-            self._h, req_id, ptr, len(arr), max_new_tokens,
-            -1 if eos_token is None else eos_token)
+        fn = (self._lib.qg_sched_submit_front if front
+              else self._lib.qg_sched_submit)
+        rc = fn(self._h, req_id, ptr, len(arr), max_new_tokens,
+                -1 if eos_token is None else eos_token)
         if rc != 0:
             raise ValueError(
                 f"request {req_id}: prompt {len(arr)} + {max_new_tokens} "

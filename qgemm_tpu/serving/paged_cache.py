@@ -32,10 +32,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qgemm_tpu.ops.kv_cache import QRANGE
+from qgemm_tpu.ops.kv_cache import QRANGE, quantize_kv as quantize_rows
 
 PAGE_SIZE = 128
-_EPS = 1e-12
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -117,15 +116,6 @@ class PageAllocator:
         self.slot_pages[slot] = []
 
 
-def quantize_rows(x):
-    """Per-position absmax int8: x [..., D] -> (int8, f32 absmax [..., 1])."""
-    c = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
-                            keepdims=True), _EPS)
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) * (QRANGE / c)),
-                 -QRANGE, QRANGE).astype(jnp.int8)
-    return q, c.astype(jnp.float32)
-
-
 @jax.jit
 def paged_write_step(cache: PagedKVCache, k_new, v_new, positions):
     """Write one decode step's K/V. k_new/v_new [B, H, 1, D];
@@ -157,11 +147,11 @@ def paged_write_step(cache: PagedKVCache, k_new, v_new, positions):
         page_table=cache.page_table, page_size=ps)
 
 
-def paged_write_prompt(cache: PagedKVCache, slot, k_prompt, v_prompt,
-                       plen_true):
+def paged_write_prompt(cache: PagedKVCache, slot, k_prompt, v_prompt):
     """Prefill: write a whole (bucket-padded) prompt's K/V for one slot.
     k_prompt/v_prompt [H, S_bucket, D] (S_bucket a multiple of page_size).
-    Rows beyond plen_true are junk-but-never-read."""
+    The whole bucket is written; rows beyond the true prompt length are
+    junk-but-never-read (attention masks strictly by per-slot length)."""
     ps = cache.page_size
     s_bucket = k_prompt.shape[1]
     n_log = s_bucket // ps
@@ -187,8 +177,7 @@ def paged_write_prompt(cache: PagedKVCache, slot, k_prompt, v_prompt,
                         page_table=cache.page_table, page_size=ps)
 
 
-def paged_write_prompt_batch(cache: PagedKVCache, k_prompts, v_prompts,
-                             plen_true):
+def paged_write_prompt_batch(cache: PagedKVCache, k_prompts, v_prompts):
     """Prefill ALL slots at once: k/v_prompts [B, H, S_bucket, D] with
     S_bucket a multiple of page_size. One scatter per logical page (the
     per-slot variant inlines B x layers scans — too big a program for a

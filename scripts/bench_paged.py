@@ -52,9 +52,10 @@ def main():
                          page_table=jnp.asarray(pt), page_size=PAGE_SIZE)
     # one shared bucket bounds compile count on the tunnel
     bucket = s_max
+    wp = jax.jit(paged_write_prompt)
     for slot, ln in enumerate(lengths):
         kp = jnp.asarray(rng.normal(size=(h, bucket, d)).astype(np.float32))
-        cache = jax.jit(paged_write_prompt)(cache, slot, kp, kp, ln)
+        cache = wp(cache, slot, kp, kp)
     jl = jnp.asarray(lengths, jnp.int32)
     q = jnp.asarray(rng.normal(size=(b, h, 1, d)).astype(np.float32))
 

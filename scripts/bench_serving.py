@@ -51,7 +51,7 @@ def _paged_generate(model, prompt, n_new, caches):
     tmp = model.init_cache(b, bucket)
     logits, tmp = model.prefill(
         jnp.pad(prompt, ((0, 0), (0, bucket - s_p))), tmp)
-    caches = [paged_write_prompt_batch(pc, t[0], t[1], s_p)
+    caches = [paged_write_prompt_batch(pc, t[0], t[1])
               for pc, t in zip(caches, tmp)]
     tok0 = jnp.argmax(logits[:, s_p - 1, :], axis=-1)[:, None]
 

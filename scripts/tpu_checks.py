@@ -119,12 +119,12 @@ def main():
             pt[slot, j] = p
     cache = PagedKVCache(kq=cache.kq, kc=cache.kc, vq=cache.vq, vc=cache.vc,
                          page_table=jnp.asarray(pt), page_size=PAGE_SIZE)
+    wp = jax.jit(paged_write_prompt)
     for slot, ln in enumerate(lens):
         bucket = -(-ln // PAGE_SIZE) * PAGE_SIZE
         kp = jnp.asarray(rng.normal(size=(h, bucket, d)).astype(np.float32))
         vp = jnp.asarray(rng.normal(size=(h, bucket, d)).astype(np.float32))
-        cache = jax.jit(paged_write_prompt, static_argnames=())(
-            cache, slot, kp, vp, ln)
+        cache = wp(cache, slot, kp, vp)
     from qgemm_tpu.ops.pallas.paged_attention import paged_decode_attention
     jl = jnp.asarray(lens, jnp.int32)
     qp_ = jnp.asarray(rng.normal(size=(b, h, 1, d)).astype(np.float32))

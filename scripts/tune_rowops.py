@@ -39,8 +39,11 @@ def main():
                 rows[bm] = f"fail: {type(e).__name__}"
             print(f"{name} bm={bm}: {rows[bm]}", file=sys.stderr)
         ok = {k: v for k, v in rows.items() if isinstance(v, float)}
-        best[name] = {"best_bm": min(ok, key=ok.get), "ms": ok[min(ok, key=ok.get)],
-                      "all": rows}
+        if ok:
+            bm_best = min(ok, key=ok.get)
+            best[name] = {"best_bm": bm_best, "ms": ok[bm_best], "all": rows}
+        else:
+            best[name] = {"best_bm": None, "all": rows}
     print(json.dumps(best))
 
 

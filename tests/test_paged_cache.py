@@ -48,14 +48,14 @@ def _filled_cache(b=3, h=2, d=64, lengths=(40, 200, 129)):
     cache = PagedKVCache(kq=cache.kq, kc=cache.kc, vq=cache.vq, vc=cache.vc,
                          page_table=jnp.asarray(pt), page_size=PAGE_SIZE)
     # prefill each slot with a bucket-padded prompt
+    wp = jax.jit(paged_write_prompt)
     for slot, ln in enumerate(lengths):
         bucket = -(-ln // PAGE_SIZE) * PAGE_SIZE
         kp = RNG.normal(size=(h, bucket, d)).astype(np.float32)
         vp = RNG.normal(size=(h, bucket, d)).astype(np.float32)
         k_dense[slot, :, :bucket] = kp
         v_dense[slot, :, :bucket] = vp
-        cache = jax.jit(paged_write_prompt)(cache, slot, jnp.asarray(kp),
-                                            jnp.asarray(vp), ln)
+        cache = wp(cache, slot, jnp.asarray(kp), jnp.asarray(vp))
     return cache, k_dense, v_dense, jnp.asarray(lengths, jnp.int32)
 
 
@@ -117,7 +117,8 @@ def test_pages_are_shared_pool_not_per_slot():
     assert not (pages0 & pages1)
     a.release(0)
     a.grow(2, 4 * PAGE_SIZE)
-    assert set(a.slot_pages[2]) <= pages0 | {p for p in range(64)}
+    # released pages are reused (freelist returns slot 0's pages)
+    assert set(a.slot_pages[2]) == pages0
 
 
 # ---------------------------------------------------------------------------
@@ -208,7 +209,7 @@ def test_paged_write_prompt_batch_matches_per_slot():
     s_max = 3 * PAGE_SIZE
     kb = jnp.asarray(k_dense)  # [B, H, S_max, D] (zeros beyond each bucket)
     vb = jnp.asarray(v_dense)
-    cache2 = jax.jit(paged_write_prompt_batch)(cache2, kb, vb, max(lengths))
+    cache2 = jax.jit(paged_write_prompt_batch)(cache2, kb, vb)
     q = jnp.asarray(RNG.normal(size=(b, h, 1, d)).astype(np.float32))
     a = paged_attention_reference(q, cache, jl)
     bq = paged_attention_reference(q, cache2, jl)
@@ -238,3 +239,20 @@ def test_paged_engine_under_mesh_matches_single_device():
                       for r in eng.run_to_completion())
 
     assert run(qm) == run(qms, mesh=mesh)
+
+
+def test_paged_engine_pool_too_small_errors_not_hangs():
+    """A request whose worst case exceeds the WHOLE pool (but fits the
+    per-slot table) must finish with .error, not backpressure forever
+    (r2 review finding: the eternal requeue hung run_to_completion)."""
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+    model = _gpt(13, max_seq_len=512)
+    eng = ContinuousBatchingEngine(model, max_slots=2, paged=True, n_pages=3)
+    eng.submit(Request(prompt=[1] * 200, max_new_tokens=100))   # needs 3 > 2
+    small = Request(prompt=[2, 3], max_new_tokens=4)            # needs 1
+    eng.submit(small)
+    fin = {r.id: r for r in eng.run_to_completion(max_steps=200)}
+    assert len(fin) == 2
+    big = [r for r in fin.values() if r.id != small.id][0]
+    assert big.error and "pages" in big.error
+    assert len(fin[small.id].generated) == 4
