@@ -12,7 +12,11 @@ hosts"; the reference is a single fixed-shape demo). Design:
     is prefilled into the slot's cache region by a jitted per-slot prefill
     (prompts padded to the slot's bucket length);
   * finished sequences (EOS or max_new_tokens) free their slot immediately —
-    the batch never drains, which is the whole point of continuous batching.
+    the batch never drains, which is the whole point of continuous batching;
+  * ``paged=True`` swaps the slot-contiguous cache for the paged int8
+    pool (serving/paged_cache.py): per-request worst-case page
+    reservation, FIFO backpressure when the pool is oversubscribed, and
+    the scalar-prefetch decode kernel.
 
 The model can be fp32/bf16 or int8-quantized (``model.quantize()``); under a
 mesh the same engine drives the tensor-sharded model (weights sharded over
