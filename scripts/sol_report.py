@@ -100,6 +100,38 @@ def main():
         bench(lambda q: decode_attention(q, kq, vq, lengths, kc=kcs, vc=vcs), q1),
         4 * b * h * s * d, cache_bytes, BF16_FLOPS)
 
+    # ---- paged decode attention (block-table int8 cache) ------------------
+    from qgemm_tpu.serving.paged_cache import (PAGE_SIZE, PageAllocator,
+                                               PagedKVCache, init_paged_cache,
+                                               paged_write_prompt)
+    import numpy as _np
+    pb, ph, pd, pps = 8, 16, 128, 16
+    npg = 1 + pb * pps
+    pcache = init_paged_cache(ph, pd, n_pages=npg, batch=pb,
+                              pages_per_slot=pps)
+    palloc = PageAllocator(npg, pb, pps)
+    plens = [2048, 700, 129, 40, 1024, 333, 2000, 512]
+    ppt = _np.zeros((pb, pps), _np.int32)
+    for slot, ln in enumerate(plens):
+        for j, p in palloc.grow(slot, ln):
+            ppt[slot, j] = p
+    pcache = PagedKVCache(kq=pcache.kq, kc=pcache.kc, vq=pcache.vq,
+                          vc=pcache.vc, page_table=jnp.asarray(ppt),
+                          page_size=PAGE_SIZE)
+    wp = jax.jit(paged_write_prompt)
+    for slot, ln in enumerate(plens):
+        kp = jax.random.normal(k1, (ph, 2048, pd), jnp.float32)
+        pcache = wp(pcache, slot, kp, kp)
+    from qgemm_tpu.ops.pallas.paged_attention import paged_decode_attention
+    pjl = jnp.asarray(plens, jnp.int32)
+    pq = jax.random.normal(k2, (pb, ph, 1, pd), jnp.float32)
+    resident = sum(len(p) for p in palloc.slot_pages) * PAGE_SIZE
+    pbytes = resident * ph * (2 * pd + 2 * 4)   # int8 K+V + f32 scales
+    row("paged decode attention (mixed 40-2048 resident)",
+        bench(lambda q: paged_decode_attention(q, pcache, pjl), pq),
+        4 * ph * resident * pd, pbytes, BF16_FLOPS,
+        note="reads resident pages only")
+
     # ---- flash attention fwd + bwd at S=4k (training path) ----------------
     from qgemm_tpu.ops.pallas.flash_attention import flash_attention
     B, H, S, D = 1, 4, 4096, 128
