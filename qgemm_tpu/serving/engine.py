@@ -281,7 +281,13 @@ class ContinuousBatchingEngine:
         self.tokens_generated = 0
         self._t_start: Optional[float] = None
 
-        self._decode = jax.jit(self._decode_impl)
+        # donate the caches into the decode step: without donation XLA must
+        # COPY every cache buffer per step (the input can't be updated in
+        # place), which for a GB-scale cache dwarfs the attention itself.
+        # The engine always replaces self.caches with the returned pytree,
+        # so the donated input is never reused. Prefill is NOT donated: its
+        # error-isolation path keeps using the old caches on failure.
+        self._decode = jax.jit(self._decode_impl, donate_argnums=(3,))
         self._prefill = jax.jit(self._prefill_impl, static_argnames=("plen",))
         self._prefill_paged = jax.jit(self._prefill_paged_impl,
                                       static_argnames=("plen",))
