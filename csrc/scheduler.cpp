@@ -200,6 +200,15 @@ int64_t qg_sched_steps(void *h) {
   return s->steps;
 }
 
+// Id of the request occupying `slot`, or -1 when the slot is free (used by
+// the engine's decode-fault recovery to error out every in-flight request).
+int64_t qg_sched_slot_request(void *h, int32_t slot) {
+  auto *s = static_cast<Scheduler *>(h);
+  std::lock_guard<std::mutex> g(s->mu);
+  auto it = s->slot_req.find(slot);
+  return it == s->slot_req.end() ? -1 : it->second.id;
+}
+
 // Cancel a request by id. Waiting requests are dropped; an active request
 // frees its slot immediately (its partial transcript moves to finished so
 // the caller can still pop it). Returns 1 (cancelled from waiting),

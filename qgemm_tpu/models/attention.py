@@ -163,8 +163,10 @@ class MultiHeadAttention:
             v = self._split(self.wqkv_v(x_kv))
 
         if kv_cache is not None:
-            from qgemm_tpu.serving.paged_cache import PagedKVCache
-            if isinstance(kv_cache, PagedKVCache):
+            # duck-typed paged branch: only a PagedKVCache carries a page
+            # table, and testing the attribute keeps models/ free of any
+            # serving import on the dense path (no import cycle as both grow)
+            if getattr(kv_cache, "page_table", None) is not None:
                 # paged decode (Sq == 1, per-slot positions): append this
                 # step's K/V at each slot's position (page, offset) and
                 # attend over the page table — scalar-prefetch kernel on

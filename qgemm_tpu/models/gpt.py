@@ -217,10 +217,12 @@ class GPT:
         logits = self.lm_head(self.ln_f(x))[:, -1, :]
         return logits, new_caches
 
-    def prefill(self, tokens, caches, lengths=None):
+    def prefill(self, tokens, caches):
         """Write a whole prompt's K/V in one pass and return the logits at
-        each position. tokens [B, S_prompt] (left-aligned, zero-padded when
-        lengths given). Scalar-position path (all slots aligned at 0)."""
+        each position. tokens [B, S_prompt], left-aligned (callers index the
+        logits at the true prompt length; padded positions' K/V are never
+        attended — decode masks strictly by per-slot position). Scalar-
+        position path (all slots aligned at 0)."""
         x = self.embed(tokens)
         new_caches = []
         for blk, cache in zip(self.blocks, caches):

@@ -353,8 +353,12 @@ class ContinuousBatchingEngine:
     # ------------------------------------------------------- paged plumbing
     def _sync_page_tables(self):
         from dataclasses import replace as _rep
-        pt = jnp.asarray(self._pt_host)
-        self.caches = [_rep(c, page_table=pt) for c in self.caches]
+        # one DISTINCT device array per layer: the decode step donates the
+        # cache pytree, and donating the same buffer L times makes XLA demote
+        # the duplicates (warning + a copy per step). The table is tiny
+        # (slots x pages_per_slot int32) and syncs only when it changes.
+        self.caches = [_rep(c, page_table=jnp.asarray(self._pt_host))
+                       for c in self.caches]
 
     def _grow_slot(self, slot: int, n_tokens: int) -> bool:
         """Ensure pages for ``n_tokens``; True if the device tables need a
@@ -387,7 +391,6 @@ class ContinuousBatchingEngine:
                          self.max_seq_len)
             prompt = jnp.asarray(
                 np.pad(np.asarray(req.prompt, np.int32), (0, bucket - plen))[None, :])
-            self._key, sub = jax.random.split(self._key)
             eff_topk = self.top_k if req.top_k is None else req.top_k
             if self.paged:
                 def _unadmit():
@@ -427,6 +430,11 @@ class ContinuousBatchingEngine:
                 if self._grow_slot(slot, worst):
                     self._sync_page_tables()
             try:
+                # split the key only once the admission is COMMITTED (after
+                # the paged backpressure/never-fit checks above): a requeued
+                # or rejected admission must not advance the RNG stream, or
+                # sampled outputs would depend on pool-pressure timing
+                self._key, sub = jax.random.split(self._key)
                 prefill_fn = self._prefill_paged if self.paged else self._prefill
                 first_tok, self.caches = prefill_fn(
                     self.model, prompt, jnp.int32(plen), self.caches,
@@ -518,10 +526,19 @@ class ContinuousBatchingEngine:
             if dirty:
                 self._sync_page_tables()
         self._key, sub = jax.random.split(self._key)
-        nxt, self.caches = self._decode(self.model, self.cur_tokens,
-                                        self.positions, self.caches,
-                                        sub, self.temps, self.topps,
-                                        self.topks)
+        try:
+            nxt, self.caches = self._decode(self.model, self.cur_tokens,
+                                            self.positions, self.caches,
+                                            sub, self.temps, self.topps,
+                                            self.topks)
+        except Exception as e:  # noqa: BLE001 — the caches were DONATED into
+            # the step, so after a fault (transient backend error, OOM) they
+            # may point at deleted buffers: request-level isolation is
+            # impossible here (unlike prefill). Recover at ENGINE level —
+            # fail every in-flight request with the error and rebuild fresh
+            # caches so subsequent submissions still serve.
+            self._recover_from_decode_fault(e)
+            return True
         self.positions = self.positions + jnp.asarray(active, jnp.int32)
         self.cur_tokens = nxt[:, None]
         self.book.record_step(np.asarray(nxt))
@@ -532,6 +549,52 @@ class ContinuousBatchingEngine:
                 self._release_slot_pages(int(slot))
         self.finished.extend(self.book.drain_finished())
         return True
+
+    def _recover_from_decode_fault(self, e: Exception):
+        """A failed (donated-cache) decode step poisons every in-flight
+        sequence: mark them all errored, release their slots/pages, and
+        re-allocate the caches so the engine keeps serving new requests."""
+        msg = f"decode step failed: {type(e).__name__}: {e}"
+        for slot in np.flatnonzero(self.book.active_mask()):
+            self._cancel_slot(int(slot), msg)
+        self.finished.extend(self.book.drain_finished())
+        if self.paged:
+            # per-slot page release above emptied the allocator; rebuild the
+            # pool arrays (the old ones were donated into the failed step)
+            from qgemm_tpu.serving.paged_cache import init_paged_cache
+            tmpl = self.caches[0]
+            self.caches = [init_paged_cache(
+                tmpl.kq.shape[1], tmpl.kq.shape[3], tmpl.n_pages,
+                self.max_slots, tmpl.page_table.shape[1])
+                for _ in self.model.blocks]
+        else:
+            self.caches = self.model.init_cache(
+                self.max_slots, self.max_seq_len,
+                quantized=self.quantized_cache)
+        if self.mesh is not None:
+            if self.paged:
+                from qgemm_tpu.parallel.sharding import shard_paged_caches
+                self.caches = shard_paged_caches(self.caches, self.mesh)
+            else:
+                from qgemm_tpu.parallel.sharding import shard_kv_caches
+                self.caches = shard_kv_caches(self.caches, self.mesh)
+        self.positions = jnp.zeros((self.max_slots,), jnp.int32)
+        self.cur_tokens = jnp.zeros((self.max_slots, 1), jnp.int32)
+
+    def _cancel_slot(self, slot: int, error_msg: str):
+        """Cancel whatever request occupies ``slot`` (if any), tagging it
+        with ``error_msg``."""
+        if hasattr(self.book, "slot_req"):            # python bookkeeper
+            req = self.book.slot_req.get(slot)
+        else:                                         # native scheduler
+            rid = self.book._sched.request_in_slot(slot)
+            req = None if rid is None else self.book._by_id[rid]
+        if req is None:
+            return
+        req.error = error_msg
+        self.book.cancel(req.id)
+        if self.paged:
+            self._release_slot_pages(slot)
 
     def run_to_completion(self, max_steps: int = 100000):
         while ((self.book.num_waiting or self.book.num_active)

@@ -56,6 +56,8 @@ def _load():
     lib.qg_sched_pop_finished.restype = i32
     lib.qg_sched_cancel.argtypes = [c.c_void_p, i64, i32p]
     lib.qg_sched_cancel.restype = i32
+    lib.qg_sched_slot_request.argtypes = [c.c_void_p, i32]
+    lib.qg_sched_slot_request.restype = i64
     _lib = lib
     return lib
 
@@ -161,6 +163,11 @@ class NativeScheduler:
         if n < 0:
             return None
         return rid.value, out[:n]
+
+    def request_in_slot(self, slot: int):
+        """Id of the request occupying ``slot``, or None when free."""
+        rid = self._lib.qg_sched_slot_request(self._h, slot)
+        return None if rid < 0 else int(rid)
 
     def cancel(self, req_id: int):
         """-> None (unknown/finished), or the freed slot id / -1 if the

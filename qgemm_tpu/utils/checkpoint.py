@@ -65,10 +65,16 @@ def save_checkpoint(path: str, tree) -> None:
     os.replace(tmp, path)
 
 
-def _shard_key(path_key: str, index) -> str:
-    """Key one shard by its global start offsets, e.g. 'blocks/0/w@0,512'."""
-    starts = ",".join(str(s.start or 0) for s in index)
-    return f"{path_key}@{starts}"
+def _shard_key(path_key: str, index, shape) -> str:
+    """Key one shard by its full global index (start:stop per dim), e.g.
+    'blocks/0/w@0:512,0:128'. Starts alone are ambiguous: a replicated
+    template and a 2-way-sharded checkpoint both have a shard starting at 0,
+    and resolving across them would fail with an opaque shape error instead
+    of the intended topology-mismatch KeyError."""
+    spans = ",".join(
+        f"{s.start or 0}:{s.stop if s.stop is not None else dim}"
+        for s, dim in zip(index, shape))
+    return f"{path_key}@{spans}"
 
 
 def save_checkpoint_sharded(dirpath: str, tree) -> None:
@@ -84,7 +90,7 @@ def save_checkpoint_sharded(dirpath: str, tree) -> None:
         if not hasattr(leaf, "addressable_shards"):
             leaf = jax.numpy.asarray(leaf)
         for sh in leaf.addressable_shards:
-            skey = _shard_key(key, sh.index)
+            skey = _shard_key(key, sh.index, leaf.shape)
             if skey in arrays:
                 continue  # replicated copy
             arr = np.asarray(sh.data)
@@ -113,8 +119,8 @@ def load_checkpoint_sharded(dirpath: str, template):
         for p, leaf in flat:
             key = _path_key(p)
 
-            def read(index, key=key):
-                skey = _shard_key(key, index)
+            def read(index, key=key, shape=getattr(leaf, "shape", ())):
+                skey = _shard_key(key, index, shape)
                 if skey not in data:
                     raise KeyError(
                         f"{dirpath}: no shard {skey} — checkpoint topology "

@@ -119,3 +119,27 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     # restored leaves carry the template's sharding
     assert restored.blocks[0].attn.wqkv_q.wq.q.sharding == \
         template.blocks[0].attn.wqkv_q.wq.q.sharding
+
+
+def test_sharded_checkpoint_topology_mismatch(tmp_path):
+    """A replicated-template load against a sharded checkpoint must fail
+    with the intended topology KeyError: both have a shard starting at 0,
+    so keying shards by start offsets alone would silently resolve to a
+    wrong-extent shard and die with an opaque shape error."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from qgemm_tpu.parallel.mesh import make_mesh
+    from qgemm_tpu.utils.checkpoint import (load_checkpoint_sharded,
+                                            save_checkpoint_sharded)
+
+    mesh = make_mesh((8,), ("model",))
+    x = jnp.arange(64, dtype=jnp.float32).reshape(8, 8)
+    sharded = jax.device_put(x, NamedSharding(mesh, P("model", None)))
+    d = str(tmp_path / "ckpt")
+    save_checkpoint_sharded(d, {"w": sharded})
+
+    replicated = jax.device_put(x, NamedSharding(mesh, P(None, None)))
+    with pytest.raises(KeyError, match="topology"):
+        load_checkpoint_sharded(d, {"w": replicated})

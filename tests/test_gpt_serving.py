@@ -217,6 +217,37 @@ def test_engine_per_request_error_isolation(monkeypatch):
     assert len(fin[good2.id].generated) == 3 and fin[good2.id].error is None
 
 
+def test_engine_decode_fault_recovery():
+    """Decode donates the caches, so a failed step poisons in-flight
+    sequences; the engine must fail them with .error set, rebuild caches,
+    and keep serving later submissions (engine-level recovery)."""
+    model = _model(seed=11)
+    eng = ContinuousBatchingEngine(model, max_slots=2)
+    doomed = Request(prompt=[1, 2, 3], max_new_tokens=8)
+    eng.submit(doomed)
+
+    real_decode = eng._decode
+    state = {"boom": True}
+
+    def flaky(model, tok, pos, caches, key, temps, topps, topks):
+        if state["boom"]:
+            state["boom"] = False
+            # simulate the donated-then-failed state: buffers gone
+            for leaf in jax.tree_util.tree_leaves(caches):
+                leaf.delete()
+            raise RuntimeError("injected decode fault")
+        return real_decode(model, tok, pos, caches, key, temps, topps, topks)
+
+    eng._decode = flaky
+    fin = {r.id: r for r in eng.run_to_completion(max_steps=40)}
+    assert "injected decode fault" in fin[doomed.id].error
+
+    after = Request(prompt=[4, 5], max_new_tokens=4)
+    eng.submit(after)
+    fin = {r.id: r for r in eng.run_to_completion(max_steps=40)}
+    assert len(fin[after.id].generated) == 4 and fin[after.id].error is None
+
+
 def test_transformer_generate_eos():
     from qgemm_tpu.models.transformer import Transformer, TransformerConfig
     cfg = TransformerConfig(vocab_size=32, d_model=16, n_heads=2, d_ff=32,
