@@ -182,12 +182,7 @@ class MultiHeadAttention:
                     return self.w_o(self._merge(out)), new_cache
                 new_cache = paged_write_step(kv_cache, k, v, positions)
                 lengths = positions + 1
-                if jax.default_backend() != "cpu":
-                    from qgemm_tpu.ops.pallas.paged_attention import \
-                        paged_decode_attention
-                    out = paged_decode_attention(q, new_cache, lengths)
-                else:
-                    out = paged_attention_reference(q, new_cache, lengths)
+                out = _paged_attend(q, new_cache, lengths)
                 return self.w_o(self._merge(out)), new_cache
             from qgemm_tpu.ops.kv_cache import QuantizedKVCache, quantize_kv
             per_slot = getattr(cache_index, "ndim", 0) == 1  # [B] positions
@@ -227,21 +222,31 @@ class MultiHeadAttention:
                 qi = jax.lax.broadcasted_iota(
                     jnp.int32, (1, 1, q.shape[2], s_max), 2) + idx
                 valid = jnp.logical_and(valid, kj <= qi)
-            if quantized and q.shape[2] == 1 \
-                    and kv_cache.kq.shape[2] >= 128 \
-                    and jax.default_backend() != "cpu" and not self._tp:
+            fused_ok = (quantized and q.shape[2] == 1
+                        and kv_cache.kq.shape[2] >= 128
+                        and jax.default_backend() != "cpu")
+            if fused_ok and self._tp:
+                # head-sharded shard_map body needs H divisible by the axis
+                fused_ok = q.shape[1] % self.w_o.mesh.shape[self.w_o.tp_axis] == 0
+            if fused_ok:
                 # decode step over the int8 cache: the fused Pallas kernel
                 # reads the cache as int8 at the HBM bound and wins at EVERY
                 # cache length swept on v5e (S=128: 1.48x, 256: 1.30x,
                 # 512: 2.32x, 1024: 2.28x, 2048+: ~2x — r2 sweep; any batch
                 # size, validated B in {5,6,12}); below 128 positions the
-                # block padding dominates, XLA path there
-                from qgemm_tpu.ops.pallas.decode_attention import \
-                    decode_attention
+                # block padding dominates, XLA path there. Under TP the same
+                # kernel runs INSIDE shard_map on each device's head shard
+                # (GSPMD cannot partition a pallas_call).
                 lengths = jnp.broadcast_to(
                     jnp.asarray(cache_index).reshape(-1), (q.shape[0],)) + 1
-                out = decode_attention(q, new_cache.kq, new_cache.vq, lengths,
-                                       kc=new_cache.kc, vc=new_cache.vc)
+                if self._tp:
+                    out = _tp_dense_decode(self, q, new_cache, lengths)
+                else:
+                    from qgemm_tpu.ops.pallas.decode_attention import \
+                        decode_attention
+                    out = decode_attention(q, new_cache.kq, new_cache.vq,
+                                           lengths, kc=new_cache.kc,
+                                           vc=new_cache.vc)
             elif quantized:
                 from qgemm_tpu.ops.kv_cache import QRANGE
                 d = q.shape[-1]
@@ -266,9 +271,48 @@ class MultiHeadAttention:
             out = self.w_o(self._merge(out))
             return out, new_cache
 
-        out = _dispatch_attention(q, k, v, causal=causal,
-                                  allow_kernels=not self._tp)
+        out = _dispatch_attention(q, k, v, causal=causal, mha=self)
         return self.w_o(self._merge(out))
+
+
+def _tp_dense_decode(mha, q, cache, lengths):
+    """Dense int8-cache decode under tensor parallelism: the cache is
+    head-sharded (parallel.sharding.shard_kv_caches) and heads are
+    embarrassingly parallel, so the fused decode kernel
+    (ops/pallas/decode_attention.py) runs INSIDE shard_map on each device's
+    own head shard — the same pattern as ``_tp_paged_decode``. Output stays
+    head-sharded for the row-parallel W_O (no collective here). The cache
+    WRITE happened outside (elementwise scatter — GSPMD partitions it)."""
+    from jax.sharding import PartitionSpec as P
+
+    from qgemm_tpu.ops.pallas.decode_attention import decode_attention
+    from qgemm_tpu.parallel.tp_ops import shard_map
+
+    mesh, axis = mha.w_o.mesh, mha.w_o.tp_axis
+
+    def body(q, kq, kc, vq, vc, ln):
+        return decode_attention(q, kq, vq, ln, kc=kc, vc=vc)
+
+    hs = P(None, axis)
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(hs, hs, hs, hs, hs, P()),
+                  out_specs=hs, check_rep=False)
+    return f(q, cache.kq, cache.kc, cache.vq, cache.vc, lengths)
+
+
+def _paged_attend(q, cache, lengths):
+    """Paged decode dispatch: ragged flat-grid kernel when the cache
+    carries step tables (serving.paged_cache.build_step_tables — one grid
+    step per allocated page), rectangular (B x pages_per_slot) kernel
+    otherwise, jnp gather oracle on CPU."""
+    from qgemm_tpu.serving.paged_cache import paged_attention_reference
+    if jax.default_backend() == "cpu":
+        return paged_attention_reference(q, cache, lengths)
+    from qgemm_tpu.ops.pallas.paged_attention import (
+        paged_decode_attention, paged_decode_attention_ragged)
+    if cache.step_slot is not None:
+        return paged_decode_attention_ragged(q, cache, lengths)
+    return paged_decode_attention(q, cache, lengths)
 
 
 def _tp_paged_decode(mha, q, k, v, cache, positions):
@@ -287,40 +331,53 @@ def _tp_paged_decode(mha, q, k, v, cache, positions):
 
     mesh, axis = mha.w_o.mesh, mha.w_o.tp_axis
     page_size = cache.page_size
+    ragged = cache.step_slot is not None
 
-    def body(q, k, v, kq, kc, vq, vc, pt, pos):
+    def body(q, k, v, kq, kc, vq, vc, pt, pos, *steps):
         local = PagedKVCache(kq=kq, kc=kc, vq=vq, vc=vc, page_table=pt,
-                             page_size=page_size)
+                             page_size=page_size,
+                             step_slot=steps[0] if ragged else None,
+                             step_page=steps[1] if ragged else None)
         local = paged_write_step(local, k, v, pos)
         lengths = pos + 1
-        if jax.default_backend() != "cpu":
-            from qgemm_tpu.ops.pallas.paged_attention import \
-                paged_decode_attention
-            out = paged_decode_attention(q, local, lengths)
-        else:
-            out = paged_attention_reference(q, local, lengths)
+        out = _paged_attend(q, local, lengths)
         return out, local.kq, local.kc, local.vq, local.vc
 
     hs = P(None, axis)          # [B, H, ...] activations / [P, H, ...] pools
+    extra = (cache.step_slot, cache.step_page) if ragged else ()
     f = shard_map(body, mesh=mesh,
-                  in_specs=(hs, hs, hs, hs, hs, hs, hs, P(), P()),
+                  in_specs=(hs, hs, hs, hs, hs, hs, hs, P(), P())
+                  + (P(),) * len(extra),
                   out_specs=(hs, hs, hs, hs, hs), check_rep=False)
     out, kq, kc, vq, vc = f(q, k, v, cache.kq, cache.kc, cache.vq, cache.vc,
-                            cache.page_table, positions)
-    new_cache = PagedKVCache(kq=kq, kc=kc, vq=vq, vc=vc,
-                             page_table=cache.page_table,
-                             page_size=page_size)
+                            cache.page_table, positions, *extra)
+    from dataclasses import replace as _rep
+    new_cache = _rep(cache, kq=kq, kc=kc, vq=vq, vc=vc)
     return out, new_cache
 
 
-def _dispatch_attention(q, k, v, causal: bool, allow_kernels: bool = True):
+def _dispatch_attention(q, k, v, causal: bool, mha=None):
     """Full-sequence path: flash kernel on TPU for non-trivial lengths
     (O(S*d) memory, scores never hit HBM), jnp composition otherwise.
-    ``allow_kernels=False`` under tensor parallelism: GSPMD cannot partition
-    a pallas_call, so the head-sharded attention math stays in jnp (XLA
-    keeps it local — no collective; heads are embarrassingly parallel)."""
-    if allow_kernels and jax.default_backend() != "cpu" \
+    Under tensor parallelism (``mha._tp``) the flash kernel runs INSIDE
+    shard_map on each device's head shard — GSPMD cannot partition a
+    pallas_call, but heads are embarrassingly parallel so the body needs no
+    collective (the paired row-parallel W_O carries the block's one psum)."""
+    if jax.default_backend() != "cpu" \
             and q.shape[-2] >= 128 and k.shape[-2] >= 128:
         from qgemm_tpu.ops.pallas.flash_attention import flash_attention
+        if mha is not None and mha._tp:
+            mesh, axis = mha.w_o.mesh, mha.w_o.tp_axis
+            if q.shape[1] % mesh.shape[axis] == 0:
+                from jax.sharding import PartitionSpec as P
+
+                from qgemm_tpu.parallel.tp_ops import shard_map
+                hs = P(None, axis)
+                f = shard_map(
+                    lambda q, k, v: flash_attention(q, k, v, causal),
+                    mesh=mesh, in_specs=(hs, hs, hs), out_specs=hs,
+                    check_rep=False)
+                return f(q, k, v)
+            return scaled_dot_product_attention(q, k, v, causal=causal)
         return flash_attention(q, k, v, causal=causal)
     return scaled_dot_product_attention(q, k, v, causal=causal)

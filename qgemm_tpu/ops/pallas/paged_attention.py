@@ -98,19 +98,23 @@ def paged_decode_attention(q, cache, lengths):
 
     q3 = q[:, :, 0].reshape(b, h, 1, d)                 # [B, H, 1, D]
 
+    def kv_ix(b, j, pt, ln):
+        # steps beyond a slot's RESIDENT pages clamp to its last resident
+        # page: consecutive identical block indices make Pallas skip the
+        # DMA entirely, so idle steps fetch nothing (previously each slot
+        # paid one null-page fetch at the resident->unallocated transition)
+        jr = jnp.minimum(j, jnp.maximum(ln[b] - 1, 0) // page)
+        return (pt[b, jr], 0, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,                          # page_table, lengths
         grid=(b, n_pages),
         in_specs=[
             pl.BlockSpec((1, h, 1, d), lambda b, j, pt, ln: (b, 0, 0, 0)),
-            pl.BlockSpec((1, h, page, d),
-                         lambda b, j, pt, ln: (pt[b, j], 0, 0, 0)),
-            pl.BlockSpec((1, h, 1, page),
-                         lambda b, j, pt, ln: (pt[b, j], 0, 0, 0)),
-            pl.BlockSpec((1, h, page, d),
-                         lambda b, j, pt, ln: (pt[b, j], 0, 0, 0)),
-            pl.BlockSpec((1, h, 1, page),
-                         lambda b, j, pt, ln: (pt[b, j], 0, 0, 0)),
+            pl.BlockSpec((1, h, page, d), kv_ix),
+            pl.BlockSpec((1, h, 1, page), kv_ix),
+            pl.BlockSpec((1, h, page, d), kv_ix),
+            pl.BlockSpec((1, h, 1, page), kv_ix),
         ],
         out_specs=pl.BlockSpec((1, h, d), lambda b, j, pt, ln: (b, 0, 0)),
         scratch_shapes=[
@@ -131,6 +135,161 @@ def paged_decode_attention(q, cache, lengths):
         interpret=_interpret(),
     )(cache.page_table, lengths.astype(jnp.int32), q3,
       cache.kq, cache.kc, cache.vq, cache.vc)
+    return out[:, :, None, :]
+
+
+RAGGED_UNROLL = 2
+
+
+def _ragged_kernel(ss_ref, sp_ref, pt_ref, len_ref, q_ref, *rest, page: int,
+                   scale: float, cd, unroll: int):
+    """Flat ragged grid: step t processes logical pages
+    sp_ref[t] .. sp_ref[t]+unroll-1 of slot ss_ref[t]. Same math as the
+    rectangular kernel; the differences are (a) the grid only has steps for
+    pages some slot actually ALLOCATED (plus tail padding), instead of
+    B x pages_per_slot — for mixed residencies the rectangular grid is
+    mostly idle steps paying fixed overhead — and (b) each step streams
+    ``unroll`` pages (one input-spec quartet per unrolled page), amortizing
+    the fixed per-grid-step cost over more HBM traffic.
+
+    The grid is (1, T): the leading dummy dimension works around a Mosaic
+    backend abort for single-dimension grids with scalar-prefetch index
+    maps under lax.scan (single calls were fine; r3 bisection).
+    """
+    kv_refs, (o_ref, m_scr, l_scr, acc_scr) = rest[:4 * unroll], rest[4 * unroll:]
+    t = pl.program_id(1)
+    b = ss_ref[t]
+    j0 = sp_ref[t]
+    length = len_ref[b]
+
+    @pl.when(j0 == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    for u in range(unroll):
+        kq_ref, kc_ref, vq_ref, vc_ref = kv_refs[4 * u:4 * u + 4]
+        j = j0 + u
+
+        @pl.when(j * page < length)
+        def _block(j=j, kq_ref=kq_ref, kc_ref=kc_ref, vq_ref=vq_ref,
+                   vc_ref=vc_ref):
+            h = q_ref.shape[1]
+            # per-head unrolled MXU dots, like the dense decode kernel's
+            # per-batch unroll (its r2 A/B: ~10% over one batched
+            # dot_general); bounded program size at serving head counts.
+            # (A single bulk astype of the whole page before the head loop
+            # measured ~6% SLOWER — Mosaic schedules the sliced converts
+            # into the dot pipeline better.)
+            srows = []
+            for hi in range(h):
+                kb = kq_ref[0, hi].astype(cd)           # [page, D]
+                qh = q_ref[0, hi].astype(cd)            # [1, D]
+                srows.append(jax.lax.dot_general(
+                    qh, kb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))  # [1, page]
+            s = jnp.concatenate(srows, axis=0) * scale  # [H, page]
+            s = s * (kc_ref[0, :, 0, :] * (1.0 / QRANGE))
+
+            pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * page
+            valid = pos < length
+            s = jnp.where(valid, s, _NEG_INF)
+
+            m_prev = m_scr[:]                           # [H, 1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+            alpha = jnp.exp(m_prev - m_new)
+            l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            m_scr[:] = m_new
+
+            p = p * (vc_ref[0, :, 0, :] * (1.0 / QRANGE))
+            orows = []
+            for hi in range(h):
+                vb = vq_ref[0, hi].astype(cd)           # [page, D]
+                orows.append(jax.lax.dot_general(
+                    p[hi:hi + 1].astype(cd), vb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))  # [1, D]
+            acc_scr[:] = acc_scr[:] * alpha + jnp.concatenate(orows, axis=0)
+
+    # write when the slot's LAST resident page is in this step's unrolled
+    # range; later steps for the slot (allocated-but-unfilled, or tail
+    # padding with sp == pages_per_slot) skip compute above and never touch
+    # o_ref, so the block flushed at the slot transition is the finished one.
+    @pl.when(jnp.logical_and(j0 * page < length,
+                             (j0 + unroll) * page >= length))
+    def _finish():
+        o_ref[0] = (acc_scr[:] /
+                    jnp.maximum(l_scr[:], 1e-30)).astype(o_ref.dtype)
+
+
+@jax.jit
+def paged_decode_attention_ragged(q, cache, lengths):
+    """Ragged-grid paged decode: grid size = len(cache.step_slot) (static),
+    one step per page some slot allocated.
+
+    ``step_slot``/``step_page`` [T] int32 (host-built, see
+    serving.paged_cache.build_step_tables): steps sorted by slot, logical
+    page ascending within a slot in strides of RAGGED_UNROLL, every slot
+    present with its page-0 step; tail padding has
+    step_page == pages_per_slot (skips compute, DMA clamps to the slot's
+    last resident page so no traffic). T changes only when page
+    ALLOCATIONS change (admission/growth), not per decode step, so jit
+    recompiles exactly when the engine already syncs page tables."""
+    step_slot, step_page = cache.step_slot, cache.step_page
+    b, h, _, d = q.shape
+    page = cache.page_size
+    scale = 1.0 / (d ** 0.5)
+    t_steps = step_slot.shape[0]
+    unroll = RAGGED_UNROLL
+
+    q3 = q[:, :, 0].reshape(b, h, 1, d)
+
+    def kv_ix(u):
+        def ix(z, t, ss, sp, pt, ln):
+            bb = ss[t]
+            # clamp beyond-resident pages (allocated-but-unfilled, odd tails
+            # of an unrolled pair, tail padding) to the slot's last resident
+            # page -> consecutive identical indices, Pallas skips the DMA
+            jr = jnp.minimum(sp[t] + u, jnp.maximum(ln[bb] - 1, 0) // page)
+            return (pt[bb, jr], 0, 0, 0)
+        return ix
+
+    kv_specs, kv_args = [], []
+    for u in range(unroll):
+        kv_specs += [
+            pl.BlockSpec((1, h, page, d), kv_ix(u)),
+            pl.BlockSpec((1, h, 1, page), kv_ix(u)),
+            pl.BlockSpec((1, h, page, d), kv_ix(u)),
+            pl.BlockSpec((1, h, 1, page), kv_ix(u)),
+        ]
+        kv_args += [cache.kq, cache.kc, cache.vq, cache.vc]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,      # step_slot, step_page, page_table, lengths
+        grid=(1, t_steps),
+        in_specs=[
+            pl.BlockSpec((1, h, 1, d),
+                         lambda z, t, ss, sp, pt, ln: (ss[t], 0, 0, 0)),
+        ] + kv_specs,
+        out_specs=pl.BlockSpec((1, h, d),
+                               lambda z, t, ss, sp, pt, ln: (ss[t], 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_ragged_kernel, page=page, scale=scale,
+                          cd=jnp.float32 if _interpret() else jnp.bfloat16,
+                          unroll=unroll),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        compiler_params=_compiler_params(("arbitrary", "arbitrary")),
+        interpret=_interpret(),
+    )(step_slot.astype(jnp.int32), step_page.astype(jnp.int32),
+      cache.page_table, lengths.astype(jnp.int32), q3, *kv_args)
     return out[:, :, None, :]
 
 

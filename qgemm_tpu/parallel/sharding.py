@@ -131,11 +131,13 @@ def shard_paged_caches(caches, mesh: Mesh, axis: str = "model"):
             if not _divisible(leaf, spec, mesh):
                 spec = _REP
             return jax.device_put(leaf, NamedSharding(mesh, spec))
+        rep = lambda x: None if x is None else jax.device_put(
+            x, NamedSharding(mesh, _REP))
         return replace(
             cache, kq=pool(cache.kq), kc=pool(cache.kc),
             vq=pool(cache.vq), vc=pool(cache.vc),
-            page_table=jax.device_put(cache.page_table,
-                                      NamedSharding(mesh, _REP)))
+            page_table=rep(cache.page_table),
+            step_slot=rep(cache.step_slot), step_page=rep(cache.step_page))
     return [put_one(c) for c in caches]
 
 

@@ -353,11 +353,22 @@ class ContinuousBatchingEngine:
     # ------------------------------------------------------- paged plumbing
     def _sync_page_tables(self):
         from dataclasses import replace as _rep
+
+        from qgemm_tpu.serving.paged_cache import build_step_tables
+        # ragged-grid step tables: rebuilt on the same event as the page
+        # tables (allocation changes), so the decode grid tracks the pages
+        # actually allocated instead of slots x pages_per_slot. The bucket
+        # rounds T up so jit sees few distinct shapes.
+        ss, sp = build_step_tables(
+            [len(p) for p in self.alloc.slot_pages],
+            self.caches[0].page_table.shape[1])
         # one DISTINCT device array per layer: the decode step donates the
         # cache pytree, and donating the same buffer L times makes XLA demote
-        # the duplicates (warning + a copy per step). The table is tiny
-        # (slots x pages_per_slot int32) and syncs only when it changes.
-        self.caches = [_rep(c, page_table=jnp.asarray(self._pt_host))
+        # the duplicates (warning + a copy per step). The tables are tiny
+        # (slots x pages_per_slot int32) and sync only when they change.
+        self.caches = [_rep(c, page_table=jnp.asarray(self._pt_host),
+                            step_slot=jnp.asarray(ss),
+                            step_page=jnp.asarray(sp))
                        for c in self.caches]
 
     def _grow_slot(self, slot: int, n_tokens: int) -> bool:

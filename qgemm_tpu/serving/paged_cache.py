@@ -38,7 +38,8 @@ PAGE_SIZE = 128
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=("kq", "kc", "vq", "vc", "page_table"),
+         data_fields=("kq", "kc", "vq", "vc", "page_table", "step_slot",
+                      "step_page"),
          meta_fields=("page_size",))
 @dataclass
 class PagedKVCache:
@@ -51,17 +52,53 @@ class PagedKVCache:
     page_table: int32 [B, pages_per_slot] — logical page j of slot b lives
     in physical page page_table[b, j]. Unallocated entries hold 0 and are
     never read (attention masks strictly by per-slot length).
+    step_slot/step_page: optional int32 [T] ragged-grid tables
+    (``build_step_tables``) — when present, decode uses the flat ragged
+    kernel whose grid has one step per ALLOCATED page instead of
+    B x pages_per_slot (mostly-idle steps for mixed residencies).
     """
     kq: jax.Array
     kc: jax.Array
     vq: jax.Array
     vc: jax.Array
     page_table: jax.Array
+    step_slot: Optional[jax.Array] = None
+    step_page: Optional[jax.Array] = None
     page_size: int = PAGE_SIZE
 
     @property
     def n_pages(self) -> int:
         return self.kq.shape[0]
+
+
+def build_step_tables(alloc_counts, pages_per_slot: int, bucket: int = 16,
+                      pages_per_step: Optional[int] = None):
+    """Host-side ragged-grid tables from per-slot ALLOCATED page counts.
+
+    Returns (step_slot, step_page) int32 numpy arrays of length T = the
+    total step count rounded up to ``bucket`` (bounds distinct jit shapes).
+    One step covers ``pages_per_step`` consecutive logical pages (default:
+    the kernel's RAGGED_UNROLL), so step_page strides by it. Every slot
+    contributes at least its page-0 step (a slot with no pages still needs
+    one so the kernel writes its — garbage, host-masked — output block);
+    tail padding repeats the last slot with step_page == pages_per_slot,
+    which the kernel treats as always-invalid (skips compute, clamps the
+    DMA index to the slot's last resident page).
+    """
+    if pages_per_step is None:
+        from qgemm_tpu.ops.pallas.paged_attention import RAGGED_UNROLL
+        pages_per_step = RAGGED_UNROLL
+    ss, sp = [], []
+    for b, n in enumerate(alloc_counts):
+        n = max(1, int(n))
+        pages = range(0, n, pages_per_step)
+        ss.extend([b] * len(pages))
+        sp.extend(pages)
+    t = -(-len(ss) // bucket) * bucket
+    pad = t - len(ss)
+    ss.extend([ss[-1]] * pad)
+    sp.extend([pages_per_slot] * pad)
+    return np.asarray(ss, np.int32), np.asarray(sp, np.int32)
 
 
 def init_paged_cache(n_heads: int, head_dim: int, n_pages: int,
@@ -141,10 +178,9 @@ def paged_write_step(cache: PagedKVCache, k_new, v_new, positions):
         # scales pool [P, H, 1, page]; write val [B, H] at (phys_b, :, 0, off_b)
         return pool.at[phys, :, 0, off].set(val[..., 0], mode="drop")
 
-    return PagedKVCache(
-        kq=scat(cache.kq, kq), kc=scat_scale(cache.kc, kc),
-        vq=scat(cache.vq, vq), vc=scat_scale(cache.vc, vc),
-        page_table=cache.page_table, page_size=ps)
+    from dataclasses import replace
+    return replace(cache, kq=scat(cache.kq, kq), kc=scat_scale(cache.kc, kc),
+                   vq=scat(cache.vq, vq), vc=scat_scale(cache.vc, vc))
 
 
 def paged_write_prompt(cache: PagedKVCache, slot, k_prompt, v_prompt):
@@ -173,8 +209,8 @@ def paged_write_prompt(cache: PagedKVCache, slot, k_prompt, v_prompt):
     (kq_p, kc_p, vq_p, vc_p), _ = jax.lax.scan(
         write_page, (cache.kq, cache.kc, cache.vq, cache.vc),
         jnp.arange(n_log))
-    return PagedKVCache(kq=kq_p, kc=kc_p, vq=vq_p, vc=vc_p,
-                        page_table=cache.page_table, page_size=ps)
+    from dataclasses import replace
+    return replace(cache, kq=kq_p, kc=kc_p, vq=vq_p, vc=vc_p)
 
 
 def paged_write_prompt_batch(cache: PagedKVCache, k_prompts, v_prompts):
@@ -198,8 +234,8 @@ def paged_write_prompt_batch(cache: PagedKVCache, k_prompts, v_prompts):
             kc[:, :, sl, 0][:, :, None, :], mode="drop")
         vc_p = vc_p.at[phys].set(
             vc[:, :, sl, 0][:, :, None, :], mode="drop")
-    return PagedKVCache(kq=kq_p, kc=kc_p, vq=vq_p, vc=vc_p,
-                        page_table=cache.page_table, page_size=ps)
+    from dataclasses import replace
+    return replace(cache, kq=kq_p, kc=kc_p, vq=vq_p, vc=vc_p)
 
 
 def gather_slot_kv(cache: PagedKVCache, max_pages: Optional[int] = None):

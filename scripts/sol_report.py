@@ -76,9 +76,18 @@ def main():
     row("int8 prequant qmm 2048^3",
         bench(lambda a: quantized_matmul_prequant_pallas(a, wq.q, wq.c), x),
         flops, m * k * 4 + k * n + m * n * 4, INT8_TOPS)
-    # dynamic adds one f32 read + int8 write of W (XLA fused col-quantize)
-    row("int8 dynamic qmm 2048^3",
+    # dynamic, WEIGHTS RESIDENT (the serving steady state, and what the
+    # scan harness actually measures: W is loop-invariant, so XLA hoists
+    # the fused col-quantize of W out of the loop — in-loop traffic equals
+    # the prequant row's; r2's k*n*5 model double-counted it and read >100%)
+    row("int8 dynamic qmm 2048^3 (W-quant hoisted)",
         bench(quantized_matmul_pallas, x, w),
+        flops, m * k * 4 + k * n + m * n * 4, INT8_TOPS)
+    # dynamic, COLD WEIGHTS (reference-parity protocol: W quantized in line
+    # every call) — W chained through the carry so the quantize can't hoist:
+    # reads X f32 + W f32, writes+reads W int8, writes O f32
+    row("int8 dynamic qmm 2048^3 (W quantized in line)",
+        bench(lambda a, b: quantized_matmul_pallas(a, b + a * 1e-30), x, w),
         flops, m * k * 4 + k * n * 5 + m * n * 4, INT8_TOPS)
     row("bf16 dot 2048^3 (baseline)",
         bench(lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32),
@@ -131,6 +140,19 @@ def main():
         bench(lambda q: paged_decode_attention(q, pcache, pjl), pq),
         4 * ph * resident * pd, pbytes, BF16_FLOPS,
         note="reads resident pages only")
+    from dataclasses import replace as _rep
+
+    from qgemm_tpu.ops.pallas.paged_attention import \
+        paged_decode_attention_ragged
+    from qgemm_tpu.serving.paged_cache import build_step_tables
+    pss, psp = build_step_tables([len(p) for p in palloc.slot_pages], pps,
+                                 bucket=16)
+    prcache = _rep(pcache, step_slot=jnp.asarray(pss),
+                   step_page=jnp.asarray(psp))
+    row("paged decode RAGGED grid (same workload)",
+        bench(lambda q: paged_decode_attention_ragged(q, prcache, pjl), pq),
+        4 * ph * resident * pd, pbytes, BF16_FLOPS,
+        note=f"{len(pss)} steps vs {pb * pps} rectangular")
 
     # ---- flash attention fwd + bwd at S=4k (training path) ----------------
     from qgemm_tpu.ops.pallas.flash_attention import flash_attention
@@ -157,6 +179,13 @@ def main():
     xs = jax.random.normal(k1, (8192, 4096), jnp.float32)
     rs = jax.random.normal(k2, (8192, 4096), jnp.float32)
     nbytes = xs.size * 4
+    # calibration: a pure stream (1 read + 1 write) pins the ACHIEVABLE HBM
+    # rate for this access pattern — the row-op %s below should be read
+    # against this row, not the paper bandwidth (r2 left them looking like
+    # "half of light" when XLA's own fused softmax measures within 10%)
+    row("elementwise stream 8192x4096 (HBM ceiling)",
+        bench(lambda a: a * 1.0000001 + 1e-12), 2 * xs.size, 2 * nbytes,
+        BF16_FLOPS)
     row("fused layernorm+residual 8192x4096",
         bench(layernorm_residual_pallas, xs, rs), 10 * xs.size, 3 * nbytes,
         BF16_FLOPS)

@@ -134,6 +134,63 @@ def main():
     assert err < 5e-3, f"paged kernel vs oracle: {err}"   # bf16-dot tolerance
     results["paged_parity"] = "ok"
 
+    # 5b. ragged-grid paged kernel == oracle (allocated > resident + padding)
+    from dataclasses import replace as _rep
+
+    from qgemm_tpu.ops.pallas.paged_attention import \
+        paged_decode_attention_ragged
+    from qgemm_tpu.serving.paged_cache import build_step_tables
+    counts = [len(p) for p in alloc.slot_pages]
+    counts[0] += 1                      # allocated-but-unfilled page
+    ss, sp = build_step_tables(counts, pps, bucket=8)
+    rcache = _rep(cache, step_slot=jnp.asarray(ss), step_page=jnp.asarray(sp))
+    got = paged_decode_attention_ragged(qp_, rcache, jl)
+    err = float(jnp.max(jnp.abs(got - ref)))
+    assert err < 5e-3, f"ragged paged kernel vs oracle: {err}"
+    results["ragged_parity"] = "ok"
+
+    # 6. TP serving runs the SAME fused kernels inside shard_map: on a
+    #    1-device model mesh, the TP decode step's compiled HLO must contain
+    #    the Pallas custom-calls (one per layer for decode attention, plus
+    #    the qmm kernels), and transcripts must match the single-chip path.
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    from qgemm_tpu.parallel.mesh import make_mesh
+    from qgemm_tpu.parallel.sharding import shard_kv_caches, \
+        shard_quantized_model
+    n_layers = 2
+    cfg = GPTConfig(vocab_size=64, d_model=256, n_heads=2, d_ff=256,
+                    n_layers=n_layers, max_seq_len=256)
+    gm = GPT.init(cfg, key=jax.random.PRNGKey(7))
+    qm = gm.quantize()
+    mesh = make_mesh((1, 1), ("data", "model"))
+    qms = shard_kv = shard_quantized_model(qm, mesh)
+    bsz = 2
+    caches_sd = qm.init_cache(bsz, 256, quantized=True)
+    caches_tp = shard_kv_caches(qm.init_cache(bsz, 256, quantized=True), mesh)
+    tok = jnp.asarray(rng.integers(0, 64, size=(bsz, 1)), jnp.int32)
+    pos = jnp.full((bsz,), 130, jnp.int32)   # >=128 so the kernel engages
+    step = jax.jit(lambda m, t, p, c: m.decode_step(t, p, c)[0])
+    ref_logits = step(qm, tok, pos, caches_sd)
+    tp_logits = step(qms, tok, pos, caches_tp)
+    err = float(jnp.max(jnp.abs(ref_logits - tp_logits)))
+    assert err < 5e-3, f"TP decode vs single-chip logits: {err}"
+    txt = jax.jit(lambda m, t, p, c: m.decode_step(t, p, c)[0]).lower(
+        qms, tok, pos, caches_tp).compile().as_text()
+    n_cc = txt.count("tpu_custom_call")
+    assert n_cc >= n_layers, f"TP decode HLO has {n_cc} pallas custom-calls"
+    results["tp_decode_custom_calls"] = n_cc
+    # full-sequence flash under TP (no-cache forward, S=256)
+    toks = jnp.asarray(rng.integers(0, 64, size=(1, 256)), jnp.int32)
+    fwd = jax.jit(lambda m, t: m.forward(t))
+    ref_f = fwd(qm, toks)
+    tp_f = fwd(qms, toks)
+    errf = float(jnp.max(jnp.abs(ref_f - tp_f)))
+    assert errf < 5e-3, f"TP forward vs single-chip: {errf}"
+    txtf = fwd.lower(qms, toks).compile().as_text()
+    ncf = txtf.count("tpu_custom_call")
+    assert ncf >= n_layers, f"TP forward HLO has {ncf} pallas custom-calls"
+    results["tp_flash_custom_calls"] = ncf
+
     print(json.dumps({"ok": True, **results}))
 
 

@@ -256,3 +256,47 @@ def test_paged_engine_pool_too_small_errors_not_hangs():
     big = [r for r in fin.values() if r.id != small.id][0]
     assert big.error and "pages" in big.error
     assert len(fin[small.id].generated) == 4
+
+
+def test_ragged_kernel_matches_reference():
+    """The flat ragged-grid kernel (interpret mode on CPU) matches the
+    gather oracle with mixed residencies, allocated-beyond-resident pages,
+    and tail padding steps."""
+    from qgemm_tpu.ops.pallas.paged_attention import \
+        paged_decode_attention_ragged
+    from qgemm_tpu.serving.paged_cache import build_step_tables
+
+    b, h, d = 3, 2, 64
+    lengths = (40, 200, 129)
+    cache, _, _, jl = _filled_cache(b=b, h=h, d=d, lengths=lengths)
+    # allocated counts from the same growth pattern, PLUS one extra
+    # allocated-but-unfilled page for slot 1 (engine reserves worst case)
+    counts = [-(-ln // PAGE_SIZE) for ln in lengths]
+    counts[1] += 1
+    ss, sp = build_step_tables(counts, cache.page_table.shape[1], bucket=16)
+    assert len(ss) == 16                      # real steps padded to 16
+    from dataclasses import replace
+    cache = replace(cache, step_slot=jnp.asarray(ss),
+                    step_page=jnp.asarray(sp))
+
+    q = jnp.asarray(RNG.normal(size=(b, h, 1, d)), jnp.float32)
+    ref = paged_attention_reference(q, cache, jl)
+    got = paged_decode_attention_ragged(q, cache, jl)
+    assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_build_step_tables():
+    from qgemm_tpu.serving.paged_cache import build_step_tables
+    ss, sp = build_step_tables([2, 0, 3], pages_per_slot=4, bucket=4,
+                               pages_per_step=1)
+    # slot 0: pages 0,1; slot 1: forced page-0 step; slot 2: pages 0,1,2
+    assert ss[:6].tolist() == [0, 0, 1, 2, 2, 2]
+    assert sp[:6].tolist() == [0, 1, 0, 0, 1, 2]
+    assert len(ss) == 8                       # padded to bucket
+    assert (np.asarray(sp[6:]) == 4).all()    # padding marked invalid
+    assert (np.asarray(ss[6:]) == 2).all()
+    # unrolled steps: one step per PAIR of pages
+    ss, sp = build_step_tables([2, 0, 3], pages_per_slot=4, bucket=4,
+                               pages_per_step=2)
+    assert ss[:4].tolist() == [0, 1, 2, 2]
+    assert sp[:4].tolist() == [0, 0, 0, 2]
