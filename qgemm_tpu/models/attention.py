@@ -145,13 +145,17 @@ class MultiHeadAttention:
         return self._split(self.wqkv_k(x_kv)), self._split(self.wqkv_v(x_kv))
 
     def __call__(self, x_q, x_kv=None, causal: bool = False,
-                 kv_cache=None, cache_index=None, precomputed_kv=None):
+                 kv_cache=None, cache_index=None, precomputed_kv=None,
+                 mask=None):
         """x_q [B, Sq, D]; x_kv [B, Sk, D] or None (self-attention).
 
         KV-cache decoding: pass ``kv_cache=(k_cache, v_cache)`` with shapes
         [B, H, S_max, Dh] and ``cache_index`` (current length); returns
         (out, (k_cache, v_cache)) with the new K/V written at cache_index.
         ``precomputed_kv=(k, v)``: skip K/V projection (cross-attention).
+        ``mask`` [B, Sk] bool (key-side validity, e.g. padded encoder
+        positions in ragged cross-attention batches) — routes through the
+        jnp path (the flash kernel takes causal/padding masks only).
         """
         q = self._split(self.wqkv_q(x_q))
         if precomputed_kv is not None:
@@ -271,7 +275,11 @@ class MultiHeadAttention:
             out = self.w_o(self._merge(out))
             return out, new_cache
 
-        out = _dispatch_attention(q, k, v, causal=causal, mha=self)
+        if mask is not None:
+            out = scaled_dot_product_attention(
+                q, k, v, causal=causal, mask=mask[:, None, None, :])
+        else:
+            out = _dispatch_attention(q, k, v, causal=causal, mha=self)
         return self.w_o(self._merge(out))
 
 

@@ -223,10 +223,20 @@ class GPT:
         logits at the true prompt length; padded positions' K/V are never
         attended — decode masks strictly by per-slot position). Scalar-
         position path (all slots aligned at 0)."""
-        x = self.embed(tokens)
+        return self.prefill_chunk(tokens, 0, caches)
+
+    def prefill_chunk(self, tokens, offset, caches):
+        """Prefill a CHUNK of the prompt at position ``offset`` (traced
+        scalar — one compiled program serves every chunk position): writes
+        the chunk's K/V at offset and returns logits for the chunk's
+        positions. The chunk attends the cache's 0..offset-1 rows plus
+        causally within itself, so feeding consecutive chunks reproduces
+        full-prompt prefill exactly (the engine's bounded-compile admission
+        path for long prompts)."""
+        x = self.embed(tokens, offset=offset)
         new_caches = []
         for blk, cache in zip(self.blocks, caches):
-            x, cache = blk(x, cache=cache, cache_index=0)
+            x, cache = blk(x, cache=cache, cache_index=offset)
             new_caches.append(cache)
         return self.lm_head(self.ln_f(x)), new_caches
 

@@ -68,6 +68,24 @@ def route(x, router_w, top_k: int, capacity: int):
     return dispatch, combine
 
 
+def load_balancing_loss(x, router_w):
+    """Switch-Transformer auxiliary load-balancing loss (§2.2, eq. 4-6):
+    ``E * sum_e f_e * P_e`` where f_e is the fraction of tokens whose TOP-1
+    choice is expert e and P_e the mean router probability mass on e.
+    Minimized (value 1.0) at a uniform assignment; add
+    ``alpha * load_balancing_loss`` (alpha ~ 1e-2) to the training loss or
+    routing collapses onto a few experts and static capacity drops the
+    rest. x [..., d] (same input the layer is called with)."""
+    xf = x.reshape(-1, x.shape[-1])
+    logits = jnp.dot(xf.astype(jnp.float32), router_w.astype(jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1)                       # [T, E]
+    e = router_w.shape[1]
+    top1 = jnp.argmax(probs, axis=-1)
+    f = jnp.mean(jax.nn.one_hot(top1, e, dtype=jnp.float32), axis=0)
+    p = jnp.mean(probs, axis=0)
+    return e * jnp.sum(f * p)
+
+
 def expert_ffn(expert_in, w_up, w_down):
     """Dense per-expert FFN. expert_in [E, C, d]; w_up [E, d, f];
     w_down [E, f, d] -> [E, C, d]."""
@@ -181,3 +199,10 @@ class MoEFeedForward:
                                     self.w_up, self.w_down)
         out = jnp.einsum("tec,ecd->td", combine, expert_out)
         return out.reshape(shape).astype(x.dtype)
+
+    def aux_loss(self, x):
+        """Switch load-balancing auxiliary loss for this layer's router on
+        input ``x`` — see ``load_balancing_loss``. Kept out of ``__call__``
+        so the inference path stays a pure FeedForward drop-in; training
+        loops call both."""
+        return load_balancing_loss(x, self.router_w)

@@ -119,8 +119,11 @@ class EncoderBlock:
                             ffn=self.ffn.with_tp(mesh, axis),
                             ln1=self.ln1, ln2=self.ln2)
 
-    def __call__(self, x):
-        x = x + self.attn(self.ln1(x))
+    def __call__(self, x, mask=None):
+        """``mask`` [B, S] bool: padded source positions (ragged batches) —
+        the encoder is bidirectional, so unmasked padding would pollute
+        every real position's encoding."""
+        x = x + self.attn(self.ln1(x), mask=mask)
         x = x + self.ffn(self.ln2(x))
         return x
 
@@ -161,10 +164,12 @@ class DecoderBlock:
                             ffn=self.ffn.quantize(**qkw),
                             ln1=self.ln1, ln2=self.ln2, ln3=self.ln3)
 
-    def __call__(self, x, enc_kv, self_cache=None, cache_index=None):
+    def __call__(self, x, enc_kv, self_cache=None, cache_index=None,
+                 src_mask=None):
         """enc_kv: precomputed cross-attention (k, v) from the encoder output.
         Full-sequence mode when self_cache is None; single-step decode
-        otherwise (returns (x, new_cache))."""
+        otherwise (returns (x, new_cache)). ``src_mask`` [B, S_src] bool
+        masks padded encoder positions (ragged source batches)."""
         if self_cache is None:
             x = x + self.self_attn(self.ln1(x), causal=True)
         else:
@@ -172,7 +177,8 @@ class DecoderBlock:
                 self.ln1(x), causal=True, kv_cache=self_cache,
                 cache_index=cache_index)
             x = x + attn_out
-        x = x + self.cross_attn(self.ln2(x), precomputed_kv=enc_kv)
+        x = x + self.cross_attn(self.ln2(x), precomputed_kv=enc_kv,
+                                mask=src_mask)
         x = x + self.ffn(self.ln3(x))
         return (x, self_cache) if self_cache is not None else x
 
@@ -234,10 +240,11 @@ class Transformer:
                                          gather_output=True))
 
     # ------------------------------------------------------------------ fwd
-    def encode(self, src_tokens):
+    def encode(self, src_tokens, mask=None):
+        """``mask`` [B, S_src] bool marks REAL (non-padding) positions."""
         x = self.embed(src_tokens)
         for blk in self.enc_blocks:
-            x = blk(x)
+            x = blk(x, mask=mask)
         return self.ln_enc(x)
 
     def decode_full(self, tgt_tokens, enc_out):
@@ -256,25 +263,53 @@ class Transformer:
     __call__ = forward
 
     # ------------------------------------------------------------- decoding
-    def init_cache(self, batch: int, max_len: int):
+    def init_cache(self, batch: int, max_len: int, quantized: bool = False):
+        """Self-attention KV caches for the decoder stack.
+
+        ``quantized=True``: int8 cache (ops/kv_cache.py) — decode routes
+        through the fused Pallas decode-attention kernel exactly like the
+        GPT family (r2 served the enc-dec family float-cache only; this
+        closes config 4 to GPT parity). On TPU the extent is aligned to the
+        kernel's 128-row blocks (junk rows never attended — masking is
+        strictly by position)."""
         cfg = self.cfg
+        s = max_len
+        if jax.default_backend() != "cpu":
+            s = -(-s // 128) * 128
         dh = cfg.d_model // cfg.n_heads
-        z = lambda: jnp.zeros((batch, cfg.n_heads, max_len, dh), cfg.jdtype)
+        if quantized:
+            from qgemm_tpu.ops.kv_cache import init_quantized_kv_cache
+            return [init_quantized_kv_cache(batch, cfg.n_heads, s, dh)
+                    for _ in self.dec_blocks]
+        z = lambda: jnp.zeros((batch, cfg.n_heads, s, dh), cfg.jdtype)
         return [(z(), z()) for _ in self.dec_blocks]
 
-    def decode_step(self, tok, pos, enc_kvs, caches):
-        """One greedy decode step. tok [B,1] int, pos scalar int.
-        Returns (next_tok [B,1], new caches)."""
-        x = self.embed(tok, offset=pos)
+    def decode_logits(self, tok, pos, enc_kvs, caches, src_mask=None):
+        """One decode step returning raw logits [B, vocab] (sampling is the
+        caller's business — the serving engine passes per-request sampling
+        params). tok [B,1] int; pos scalar or [B] per-slot positions
+        (continuous batching); ``src_mask`` [B, S_src] bool masks padded
+        encoder positions for ragged source batches."""
+        if getattr(pos, "ndim", 0) == 1:
+            emb = jnp.take(self.embed.table, tok, axis=0)
+            x = emb + jnp.take(self.embed.pos, pos, axis=0)[:, None, :]
+        else:
+            x = self.embed(tok, offset=pos)
         new_caches = []
         for blk, kv, cache in zip(self.dec_blocks, enc_kvs, caches):
-            x, cache = blk(x, kv, self_cache=cache, cache_index=pos)
+            x, cache = blk(x, kv, self_cache=cache, cache_index=pos,
+                           src_mask=src_mask)
             new_caches.append(cache)
-        logits = self.lm_head(self.ln_dec(x))  # [B, 1, vocab]
-        return jnp.argmax(logits[:, -1, :], axis=-1)[:, None], new_caches
+        return self.lm_head(self.ln_dec(x))[:, -1, :], new_caches
+
+    def decode_step(self, tok, pos, enc_kvs, caches, src_mask=None):
+        """Greedy decode step. Returns (next_tok [B,1], new caches)."""
+        logits, new_caches = self.decode_logits(tok, pos, enc_kvs, caches,
+                                                src_mask=src_mask)
+        return jnp.argmax(logits, axis=-1)[:, None], new_caches
 
     def generate(self, src_tokens, max_new_tokens: int, bos_token: int = 1,
-                 eos_token: int | None = None):
+                 eos_token: int | None = None, quantized_cache: bool = False):
         """Greedy KV-cache generation under one jit-able scan.
 
         src_tokens [B, S_src] -> tokens [B, max_new_tokens].
@@ -282,12 +317,15 @@ class Transformer:
         ``eos_token``: once a sequence emits it, every later position is
         pinned to eos (jit-friendly: the scan shape is static, finished
         rows just stop changing — the standard padded-decode contract).
+        ``quantized_cache``: int8 self-attention cache + fused Pallas
+        decode kernel (GPT-family parity).
         """
         batch = src_tokens.shape[0]
         enc_out = self.encode(src_tokens)
         enc_kvs = [blk.cross_attn.precompute_kv(enc_out)
                    for blk in self.dec_blocks]
-        caches = self.init_cache(batch, max_new_tokens)
+        caches = self.init_cache(batch, max_new_tokens,
+                                 quantized=quantized_cache)
         tok0 = jnp.full((batch, 1), bos_token, jnp.int32)
         done0 = jnp.zeros((batch,), bool)
 

@@ -18,6 +18,18 @@ the layer runs under shard_map:
 This is the dense-dispatch formulation of expert parallelism: the psum plays
 the role of the combine all-to-all, with per-device compute identical to the
 classic a2a formulation but no host-side permutation bookkeeping.
+
+REGIME BOUND (know before scaling): the dispatch/combine tensors are
+[T, E, C] and REPLICATED on every device, so per-device routing memory and
+the dispatch einsum flops grow as O(T * E * C) ~ O(T^2 * capacity_factor *
+top_k) — independent of the device count. That is fine for the serving
+regime this repo targets (T = batch x decode-step tokens, thousands;
+E <= 64) and for CI-scale tests, but for large-T training at high expert
+counts the classic all-to-all formulation (dispatch a2a -> local FFN ->
+combine a2a, traffic O(T * d / p) per device) wins; swap this module's
+body for one built on jax.lax.all_to_all over the expert axis when T * E *
+C replication no longer fits. The psum here moves O(T * d) per device per
+layer, vs the a2a's O(T * d / p) — a further p-fold traffic gap at scale.
 """
 
 from __future__ import annotations

@@ -207,12 +207,29 @@ class _NativeBookkeeper:
             out.append(req)
 
 
+def _slice_slot(caches, slot):
+    """Per layer: the slot's [1, H, S, *] view of every cache leaf."""
+    zero = jnp.zeros((), jnp.int32)
+    sl = lambda c: jax.lax.dynamic_slice(
+        c, (slot, zero, zero, zero), (1,) + c.shape[1:])
+    return [jax.tree.map(sl, c) for c in caches]
+
+
+def _scatter_slot(caches, sliced, slot):
+    """Write the slot's filled cache slice back into the shared caches."""
+    zero = jnp.zeros((), jnp.int32)
+    put = lambda c, t: jax.lax.dynamic_update_slice(
+        c, t, (slot, zero, zero, zero))
+    return [jax.tree.map(put, c, t) for c, t in zip(caches, sliced)]
+
+
 class ContinuousBatchingEngine:
     def __init__(self, model, max_slots: int = 8,
                  max_seq_len: Optional[int] = None,
                  scheduler: str = "auto", quantized_cache: bool = False,
                  top_k: int = 0, seed: int = 0, mesh=None,
-                 paged: bool = False, n_pages: Optional[int] = None):
+                 paged: bool = False, n_pages: Optional[int] = None,
+                 chunked_prefill: Optional[int] = None):
         """``scheduler``: "python", "native" (C++ csrc/scheduler.cpp), or
         "auto" (native when the shared library is built).
         ``quantized_cache``: int8 KV cache (ops/kv_cache.py) — halves the
@@ -229,7 +246,15 @@ class ContinuousBatchingEngine:
         per-request maxima instead of slots x engine max_seq_len.
         ``n_pages`` sizes the pool (default: full provisioning; pass less
         to oversubscribe — admissions that don't fit wait in the queue
-        until finishing requests release pages)."""
+        until finishing requests release pages).
+        ``chunked_prefill``: chunk size (e.g. 256). Prompts longer than one
+        chunk are admitted chunk by chunk through ONE compiled fixed-shape
+        program (reused across chunk positions, slots and prompt lengths),
+        so admission compile cost is bounded by three programs total
+        (slice slot cache / fill chunk / scatter back) instead of one
+        compile per pow2 prompt bucket — and a 2048-token admission never
+        triggers a large one-off compile. Dense-cache mode only (paged
+        prompts write whole pages already)."""
         self.model = model
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len or model.cfg.max_seq_len
@@ -291,6 +316,23 @@ class ContinuousBatchingEngine:
         self._prefill = jax.jit(self._prefill_impl, static_argnames=("plen",))
         self._prefill_paged = jax.jit(self._prefill_paged_impl,
                                       static_argnames=("plen",))
+        self.chunked_prefill = chunked_prefill
+        self._admit_times: List[float] = []
+        if chunked_prefill:
+            assert not paged, "chunked_prefill is for the dense-cache mode"
+            self._slice_slot = jax.jit(_slice_slot)
+            # the sliced caches are DONATED chunk to chunk (in-place fill);
+            # self.caches is never donated here, so a failing chunk leaves
+            # the engine intact (per-request error isolation preserved)
+            self._chunk_fill = jax.jit(
+                lambda model, tok, off, sliced: model.prefill_chunk(
+                    tok, off, sliced), donate_argnums=(3,))
+            self._scatter_slot = jax.jit(_scatter_slot)
+            from qgemm_tpu.ops.sampling import sample_logits as _sl
+            self._sample_at = jax.jit(
+                lambda logits, idx, key, t, p, k: _sl(
+                    jnp.take(logits[0], idx, axis=0)[None], key,
+                    temperature=t, top_k=k, top_p=p)[0])
 
     # ------------------------------------------------------------- jit fns
     def _decode_impl(self, model, tok, pos, caches, key, temps, topps, topks):
@@ -440,17 +482,26 @@ class ContinuousBatchingEngine:
                     return
                 if self._grow_slot(slot, worst):
                     self._sync_page_tables()
+            import time as _time
+            t_adm = _time.perf_counter()
             try:
                 # split the key only once the admission is COMMITTED (after
                 # the paged backpressure/never-fit checks above): a requeued
                 # or rejected admission must not advance the RNG stream, or
                 # sampled outputs would depend on pool-pressure timing
                 self._key, sub = jax.random.split(self._key)
-                prefill_fn = self._prefill_paged if self.paged else self._prefill
-                first_tok, self.caches = prefill_fn(
-                    self.model, prompt, jnp.int32(plen), self.caches,
-                    jnp.int32(slot), sub, jnp.float32(req.temperature),
-                    jnp.float32(req.top_p), jnp.int32(eff_topk), plen=bucket)
+                if (self.chunked_prefill and not self.paged
+                        and plen > self.chunked_prefill):
+                    first_tok, self.caches = self._admit_chunked(
+                        req, slot, plen, sub, eff_topk)
+                else:
+                    prefill_fn = (self._prefill_paged if self.paged
+                                  else self._prefill)
+                    first_tok, self.caches = prefill_fn(
+                        self.model, prompt, jnp.int32(plen), self.caches,
+                        jnp.int32(slot), sub, jnp.float32(req.temperature),
+                        jnp.float32(req.top_p), jnp.int32(eff_topk),
+                        plen=bucket)
             except Exception as e:  # noqa: BLE001 — per-request isolation:
                 # a failing prefill (bad values, compile error for a new
                 # bucket, transient backend fault) must not kill the batch
@@ -472,6 +523,43 @@ class ContinuousBatchingEngine:
             self.topks = self.topks.at[slot].set(eff_topk)
             self.tokens_generated += 1
             self.book.admitted(slot, int(first_tok))
+            self._admit_times.append(_time.perf_counter() - t_adm)
+
+    def _admit_chunked(self, req, slot, plen, key, eff_topk):
+        """Admit a long prompt in fixed-size chunks: slice the slot's cache
+        region out once, run ONE compiled chunk program per chunk (the
+        offset is traced data, so every chunk position / slot / prompt
+        length reuses the same executable), scatter the filled region
+        back. Falls back to the bucketed path if the padded prompt would
+        overrun the cache extent."""
+        chunk = self.chunked_prefill
+        n_chunks = -(-plen // chunk)
+        padded = n_chunks * chunk
+        extent = jax.tree_util.tree_leaves(self.caches[0])[0].shape[2]
+        if padded > extent:
+            bucket = min(max(8, 1 << (plen - 1).bit_length()),
+                         self.max_seq_len)
+            prompt = jnp.asarray(np.pad(
+                np.asarray(req.prompt, np.int32),
+                (0, bucket - plen))[None, :])
+            return self._prefill(
+                self.model, prompt, jnp.int32(plen), self.caches,
+                jnp.int32(slot), key, jnp.float32(req.temperature),
+                jnp.float32(req.top_p), jnp.int32(eff_topk), plen=bucket)
+        prompt = np.pad(np.asarray(req.prompt, np.int32),
+                        (0, padded - plen))
+        sliced = self._slice_slot(self.caches, jnp.int32(slot))
+        logits = None
+        for c in range(n_chunks):
+            tok = jnp.asarray(prompt[None, c * chunk:(c + 1) * chunk])
+            logits, sliced = self._chunk_fill(
+                self.model, tok, jnp.int32(c * chunk), sliced)
+        new_caches = self._scatter_slot(self.caches, sliced, jnp.int32(slot))
+        idx = (plen - 1) - (n_chunks - 1) * chunk
+        first_tok = self._sample_at(
+            logits, jnp.int32(idx), key, jnp.float32(req.temperature),
+            jnp.float32(req.top_p), jnp.int32(eff_topk))
+        return first_tok, new_caches
 
     def cancel(self, req_id: int) -> bool:
         """Cancel a request by id: a waiting request is dropped; an active
@@ -510,6 +598,11 @@ class ContinuousBatchingEngine:
               "steps": int(self.steps), "wall_s": round(wall, 3),
               "tokens_per_s": round(self.tokens_generated / wall, 2)
               if wall else 0.0}
+        if self._admit_times:
+            at = np.sort(np.asarray(self._admit_times))
+            st["admit_p50_ms"] = round(float(np.percentile(at, 50)) * 1e3, 2)
+            st["admit_p95_ms"] = round(float(np.percentile(at, 95)) * 1e3, 2)
+            st["admissions"] = len(at)
         if self.paged:
             total = self.caches[0].n_pages - 1      # page 0 reserved
             st["pages_in_use"] = total - self.alloc.n_free

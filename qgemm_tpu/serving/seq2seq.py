@@ -1,0 +1,256 @@
+"""Continuous batching for the encoder-decoder family (BASELINE config 4).
+
+The GPT engine's design carried over (serving/engine.py: fixed slot pool,
+one jitted decode step over all slots, bucketed per-slot prefill, per-slot
+positions as data), adapted to seq2seq semantics:
+
+  * a Request's ``prompt`` is the SOURCE sequence; generation starts from
+    BOS, so decoder positions start at 1 after admission (BOS K/V at 0);
+  * admission encodes the (bucket-padded) source once, scatters each
+    layer's cross-attention K/V into the slot's row of a shared
+    [slots, H, S_src_max, Dh] tensor, and runs the BOS decode step into
+    the slot's self-cache region — the decode loop never re-touches the
+    encoder;
+  * ragged sources are handled by masking: the encoder masks padded
+    positions internally (bidirectional — unmasked padding would pollute
+    real positions) and every decode step masks cross-attention by the
+    slot's true source length;
+  * the decoder self-cache may be int8 (``quantized_cache=True``) and the
+    decode step then runs the fused Pallas decode-attention kernel, same
+    as GPT serving.
+
+The reference's encoder-decoder demo (src/transformer.cu) has none of
+this — fixed shapes, no cache, no batching; SURVEY §2 C15.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qgemm_tpu.serving.engine import Request, _PyBookkeeper
+
+
+class _Seq2SeqBookkeeper(_PyBookkeeper):
+    """Decoder-side bookkeeping: positions count DECODER tokens (BOS at 0,
+    admissions start at position 1); the source length is validated by the
+    engine, not here."""
+
+    def submit(self, req: Request, front: bool = False):
+        if req.max_new_tokens + 1 > self.max_seq_len:
+            raise ValueError(
+                f"request {req.id}: max_new_tokens {req.max_new_tokens} "
+                f"exceeds decoder budget {self.max_seq_len - 1}")
+        if front:
+            self.waiting.insert(0, req)
+        else:
+            self.waiting.append(req)
+
+    def next_admission(self):
+        if not self.waiting or self.active.all():
+            return None
+        slot = int(np.flatnonzero(~self.active)[0])
+        req = self.waiting.pop(0)
+        self.pos[slot] = 1                      # BOS occupies position 0
+        self.active[slot] = True
+        self.slot_req[slot] = req
+        return slot, req
+
+
+class Seq2SeqEngine:
+    """Continuous batching inference engine for ``models.transformer
+    .Transformer``. API mirrors ``ContinuousBatchingEngine`` (submit /
+    step / run_to_completion / cancel / stats)."""
+
+    def __init__(self, model, max_slots: int = 8,
+                 max_src_len: Optional[int] = None,
+                 max_new_tokens: Optional[int] = None,
+                 quantized_cache: bool = False, top_k: int = 0,
+                 seed: int = 0, bos_token: int = 1):
+        cfg = model.cfg
+        self.model = model
+        self.max_slots = max_slots
+        self.max_src_len = max_src_len or cfg.max_seq_len
+        self.max_dec_len = (max_new_tokens or cfg.max_seq_len - 1) + 1
+        self.quantized_cache = quantized_cache
+        self.top_k = top_k
+        self.bos_token = bos_token
+        self._key = jax.random.PRNGKey(seed)
+
+        self.book = _Seq2SeqBookkeeper(max_slots, self.max_dec_len)
+        self.caches = model.init_cache(max_slots, self.max_dec_len,
+                                       quantized=quantized_cache)
+        dh = cfg.d_model // cfg.n_heads
+        s_src = self.max_src_len
+        zkv = lambda: jnp.zeros((max_slots, cfg.n_heads, s_src, dh),
+                                cfg.jdtype)
+        self.enc_kvs = [(zkv(), zkv()) for _ in model.dec_blocks]
+        self.src_lens = jnp.zeros((max_slots,), jnp.int32)
+
+        self.positions = jnp.zeros((max_slots,), jnp.int32)
+        self.cur_tokens = jnp.zeros((max_slots, 1), jnp.int32)
+        self.temps = jnp.zeros((max_slots,), jnp.float32)
+        self.topps = jnp.ones((max_slots,), jnp.float32)
+        self.topks = jnp.zeros((max_slots,), jnp.int32)
+        self.finished: List[Request] = []
+        self.tokens_generated = 0
+        self._t_start = None
+
+        # donate the self caches only (enc_kvs are read-only in decode)
+        self._decode = jax.jit(self._decode_impl, donate_argnums=(3,))
+        self._prefill = jax.jit(self._prefill_impl, static_argnames=("plen",))
+
+    # ------------------------------------------------------------- jit fns
+    def _decode_impl(self, model, tok, pos, caches, enc_kvs, src_lens,
+                     key, temps, topps, topks):
+        from qgemm_tpu.ops.sampling import sample_logits
+        src_mask = jnp.arange(self.max_src_len)[None, :] < src_lens[:, None]
+        logits, caches = model.decode_logits(tok, pos, enc_kvs, caches,
+                                             src_mask=src_mask)
+        nxt = sample_logits(logits, key, temperature=temps, top_k=topks,
+                            top_p=topps)
+        return nxt, caches
+
+    def _prefill_impl(self, model, src, src_len_true, caches, enc_kvs,
+                      slot, key, temp, topp, topk, plen):
+        """Admit one source: encode the bucket-padded source (masked), put
+        each layer's cross K/V into the slot's rows, run the BOS decode
+        step into the slot's (fresh) self-cache region, sample the first
+        token. ``plen`` is the static source bucket length."""
+        from qgemm_tpu.ops.sampling import sample_logits
+        mask = (jnp.arange(plen)[None, :] < src_len_true)
+        enc_out = model.encode(src, mask=mask)
+        zero = jnp.zeros((), jnp.int32)
+
+        fresh, new_enc_kvs = [], []
+        for blk, (ek, ev) in zip(model.dec_blocks, enc_kvs):
+            k, v = blk.cross_attn.precompute_kv(enc_out)    # [1, H, plen, Dh]
+            fresh.append((k, v))
+            new_enc_kvs.append((
+                jax.lax.dynamic_update_slice(ek, k.astype(ek.dtype),
+                                             (slot, zero, zero, zero)),
+                jax.lax.dynamic_update_slice(ev, v.astype(ev.dtype),
+                                             (slot, zero, zero, zero))))
+
+        # BOS step with a throwaway 1-slot cache, scattered into the shared
+        # cache at the slot (same pattern as the GPT engine's prefill);
+        # cross-attends the freshly-computed [1, H, plen, Dh] K/V
+        tmp = model.init_cache(1, 1, quantized=self.quantized_cache)
+        bos = jnp.full((1, 1), self.bos_token, jnp.int32)
+        logits, tmp = model.decode_logits(bos, 0, fresh, tmp, src_mask=mask)
+
+        def scatter(c_full, c_tmp):
+            return jax.lax.dynamic_update_slice(
+                c_full, c_tmp, (slot, zero, zero, zero))
+
+        new_caches = [jax.tree.map(scatter, c, t)
+                      for c, t in zip(caches, tmp)]
+        first_tok = sample_logits(logits, key, temperature=temp,
+                                  top_k=topk, top_p=topp)[0]
+        return first_tok, new_caches, new_enc_kvs
+
+    # ---------------------------------------------------------------- admin
+    def submit(self, req: Request):
+        if len(req.prompt) > self.max_src_len:
+            raise ValueError(
+                f"request {req.id}: source length {len(req.prompt)} "
+                f"exceeds max_src_len {self.max_src_len}")
+        self.book.submit(req)
+
+    def _admit(self):
+        while True:
+            adm = self.book.next_admission()
+            if adm is None:
+                return
+            slot, req = adm
+            plen = len(req.prompt)
+            bucket = min(max(8, 1 << (max(plen, 1) - 1).bit_length()),
+                         self.max_src_len)
+            src = jnp.asarray(np.pad(
+                np.asarray(req.prompt, np.int32), (0, bucket - plen))[None, :])
+            eff_topk = self.top_k if req.top_k is None else req.top_k
+            try:
+                self._key, sub = jax.random.split(self._key)
+                first_tok, self.caches, self.enc_kvs = self._prefill(
+                    self.model, src, jnp.int32(plen), self.caches,
+                    self.enc_kvs, jnp.int32(slot), sub,
+                    jnp.float32(req.temperature), jnp.float32(req.top_p),
+                    jnp.int32(eff_topk), plen=bucket)
+            except Exception as e:  # noqa: BLE001 — per-request isolation
+                req.error = f"{type(e).__name__}: {e}"
+                req.done = True
+                self.book.cancel(req.id)
+                for r in self.book.drain_finished():
+                    if r.id != req.id:
+                        self.finished.append(r)
+                self.finished.append(req)
+                continue
+            self.src_lens = self.src_lens.at[slot].set(plen)
+            self.positions = self.positions.at[slot].set(1)
+            self.cur_tokens = self.cur_tokens.at[slot, 0].set(first_tok)
+            self.temps = self.temps.at[slot].set(req.temperature)
+            self.topps = self.topps.at[slot].set(req.top_p)
+            self.topks = self.topks.at[slot].set(eff_topk)
+            self.tokens_generated += 1
+            self.book.admitted(slot, int(first_tok))
+
+    def cancel(self, req_id: int) -> bool:
+        res = self.book.cancel(req_id)
+        if res is None:
+            return False
+        kind, info = res
+        if kind == "waiting":
+            info.done = True
+            info.cancelled = True
+            self.finished.append(info)
+        else:
+            for r in self.book.drain_finished():
+                r.done = True
+                if r.id == req_id:
+                    r.cancelled = True
+                self.finished.append(r)
+        return True
+
+    # ----------------------------------------------------------------- run
+    @property
+    def steps(self) -> int:
+        return self.book.steps
+
+    @property
+    def stats(self) -> Dict[str, float]:
+        import time
+        wall = (time.perf_counter() - self._t_start) if self._t_start else 0.0
+        return {"tokens_generated": self.tokens_generated,
+                "steps": int(self.steps), "wall_s": round(wall, 3),
+                "tokens_per_s": round(self.tokens_generated / wall, 2)
+                if wall else 0.0}
+
+    def step(self):
+        import time
+        if self._t_start is None:
+            self._t_start = time.perf_counter()
+        self._admit()
+        active = self.book.active_mask()
+        if not active.any():
+            return False
+        self._key, sub = jax.random.split(self._key)
+        nxt, self.caches = self._decode(self.model, self.cur_tokens,
+                                        self.positions, self.caches,
+                                        self.enc_kvs, self.src_lens, sub,
+                                        self.temps, self.topps, self.topks)
+        self.positions = self.positions + jnp.asarray(active, jnp.int32)
+        self.cur_tokens = nxt[:, None]
+        self.book.record_step(np.asarray(nxt))
+        self.tokens_generated += int(active.sum())
+        self.finished.extend(self.book.drain_finished())
+        return True
+
+    def run_to_completion(self, max_steps: int = 100000):
+        while ((self.book.num_waiting or self.book.num_active)
+               and self.steps < max_steps):
+            self.step()
+        self.finished.extend(self.book.drain_finished())
+        return self.finished

@@ -116,7 +116,13 @@ def main():
                     help="skip the bf16 run and init straight into int8 "
                          "(layer-by-layer; for models whose float weights "
                          "don't fit HBM, e.g. 6.7B-class on 16 GB)")
+    ap.add_argument("--outliers", action="store_true",
+                    help="also time the LLM.int8() mixed-precision "
+                         "decomposition path (threshold 6.0, capacity 32 "
+                         "per GEMM) — the >6.7B accuracy regime")
     args = ap.parse_args()
+
+    from dataclasses import replace as _replace
 
     from qgemm_tpu.models.gpt import GPT, GPTConfig
 
@@ -134,6 +140,18 @@ def main():
         q = model.quantize()
         runs = [("bf16", model, False), ("int8", q, False),
                 ("int8+int8kv", q, True)]
+    if args.outliers:
+        # same int8 weights, outlier decomposition switched on (it is a
+        # meta field of QuantizedLinear — no reconversion needed)
+        def _with_outliers(mod):
+            if hasattr(mod, "outlier_threshold"):
+                return _replace(mod, outlier_threshold=6.0,
+                                outlier_capacity=32)
+            return mod
+        qo = jax.tree_util.tree_map(
+            _with_outliers, q,
+            is_leaf=lambda m: hasattr(m, "outlier_threshold"))
+        runs.append(("int8+outliers", qo, True))
     log(f"model: {n_params/1e9:.2f}B params, {args.layers}L x "
         f"d{args.d_model}, batch {args.batch}")
 

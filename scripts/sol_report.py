@@ -182,10 +182,31 @@ def main():
     # calibration: a pure stream (1 read + 1 write) pins the ACHIEVABLE HBM
     # rate for this access pattern — the row-op %s below should be read
     # against this row, not the paper bandwidth (r2 left them looking like
-    # "half of light" when XLA's own fused softmax measures within 10%)
-    row("elementwise stream 8192x4096 (HBM ceiling)",
-        bench(lambda a: a * 1.0000001 + 1e-12), 2 * xs.size, 2 * nbytes,
-        BF16_FLOPS)
+    # "half of light" when XLA's own fused softmax measures within 10%).
+    # NB: must be carry-chained (c' = c * k per scan step), NOT bench_ms —
+    # there only a scalar reduction of the output is consumed and XLA
+    # algebraically collapses sum(a*k) to k*sum(a), dropping the write.
+    import time as _time
+
+    def _stream_total(n, repeats=4):
+        @jax.jit
+        def run(c):
+            c, _ = jax.lax.scan(lambda c, _: (c * 1.0000001, None), c,
+                                None, length=n)
+            return jnp.sum(c[..., :1].astype(jnp.float32))
+        float(run(xs))
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = _time.perf_counter()
+            float(run(xs))
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
+    t_stream = max(_stream_total(args.iters)
+                   - _stream_total(max(1, args.iters // 15)), 1e-9) \
+        / (args.iters - max(1, args.iters // 15)) * 1e3
+    row("elementwise stream 8192x4096 (HBM ceiling)", t_stream,
+        2 * xs.size, 2 * nbytes, BF16_FLOPS)
     row("fused layernorm+residual 8192x4096",
         bench(layernorm_residual_pallas, xs, rs), 10 * xs.size, 3 * nbytes,
         BF16_FLOPS)

@@ -259,3 +259,29 @@ def test_transformer_generate_eos():
     toks = np.asarray(model.generate(src, 8, eos_token=eos))
     assert (toks[0, :3] == base[0, :3]).all()
     assert (toks[0, 2:] == eos).all()   # pinned after first eos
+
+
+def test_chunked_prefill_matches_bucketed():
+    """Chunked admission (fixed 16-token chunks here) produces the same
+    transcript as the one-shot bucketed prefill, and every chunk position
+    / prompt length reuses ONE compiled chunk program."""
+    model = _model(seed=13)
+    prompts = [list(range(1, 36)), list(range(40, 58)), [5, 6]]
+
+    ref = ContinuousBatchingEngine(model, max_slots=2)
+    for p in prompts:
+        ref.submit(Request(prompt=p, max_new_tokens=4))
+    ref_fin = {r.id % 3: r.generated
+               for r in ref.run_to_completion(max_steps=40)}
+
+    eng = ContinuousBatchingEngine(model, max_slots=2, chunked_prefill=16)
+    reqs = [Request(prompt=p, max_new_tokens=4) for p in prompts]
+    for r in reqs:
+        eng.submit(r)
+    fin = {r.id: r.generated for r in eng.run_to_completion(max_steps=40)}
+    ref_vals = sorted(ref_fin.values())
+    assert sorted(fin.values()) == ref_vals
+    # the 35- and 18-token prompts both chunked through the same program
+    assert eng._chunk_fill._cache_size() == 1
+    st = eng.stats
+    assert st["admissions"] == 3 and st["admit_p95_ms"] > 0

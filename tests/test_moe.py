@@ -167,3 +167,27 @@ def test_moe_gpt_under_continuous_batching_engine():
         eng2.submit(Request(prompt=[1 + i, 2], max_new_tokens=4))
     fin2 = {tuple(r.generated) for r in eng2.run_to_completion()}
     assert fin2 == {tuple(r.generated) for r in fin}
+
+
+def test_load_balancing_loss():
+    """Switch aux loss: ~1.0 (minimum) for a uniform router, larger when
+    routing collapses onto one expert; differentiable."""
+    import jax
+    import jax.numpy as jnp
+    from qgemm_tpu.models.moe import MoEFeedForward, load_balancing_loss
+
+    moe = MoEFeedForward.init(jax.random.PRNGKey(0), 16, 32, n_experts=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (256, 16))
+    # near-uniform router (tiny random weights) -> loss near 1
+    near = float(moe.aux_loss(x))
+    assert 0.9 < near < 1.6, near
+
+    # collapsed router: a constant input feature drives every token to
+    # expert 0 -> loss approaches E
+    xc = x.at[:, 0].set(5.0)
+    w_collapsed = jnp.zeros((16, 4)).at[0, 0].set(10.0)
+    collapsed = float(load_balancing_loss(xc, w_collapsed))
+    assert collapsed > 3.5, collapsed
+
+    g = jax.grad(lambda w: load_balancing_loss(x, w))(moe.router_w)
+    assert jnp.isfinite(g).all() and float(jnp.abs(g).max()) > 0

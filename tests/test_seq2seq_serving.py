@@ -1,0 +1,120 @@
+"""Encoder-decoder serving: int8 decoder cache + continuous batching
+(BASELINE config 4 at GPT-family parity; the reference demo is a fixed-
+shape, cache-less, batch-less loop — src/transformer.cu:170-185)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qgemm_tpu.models.transformer import Transformer, TransformerConfig
+from qgemm_tpu.serving.engine import Request
+from qgemm_tpu.serving.seq2seq import Seq2SeqEngine
+from qgemm_tpu.utils.testing import assert_allclose
+
+CFG = TransformerConfig(vocab_size=89, d_model=32, n_heads=4, d_ff=64,
+                        n_layers=2, max_seq_len=64)
+RNG = np.random.default_rng(21)
+
+
+def _model(seed=0):
+    return Transformer.init(CFG, key=jax.random.PRNGKey(seed))
+
+
+def test_quantized_cache_decode_matches_float():
+    """int8 decoder self-cache: decode logits track the float-cache path
+    within KV-quantization noise, step by step."""
+    model = _model(seed=1)
+    src = jnp.asarray([[5, 6, 7, 8, 9]])
+    enc = model.encode(src)
+    kvs = [b.cross_attn.precompute_kv(enc) for b in model.dec_blocks]
+    cf = model.init_cache(1, 16)
+    cq = model.init_cache(1, 16, quantized=True)
+    tok = jnp.asarray([[1]])
+    for t in range(4):
+        lf, cf = model.decode_logits(tok, t, kvs, cf)
+        lq, cq = model.decode_logits(tok, t, kvs, cq)
+        assert_allclose(lq, lf, rtol=5e-2, atol=5e-2)
+        tok = jnp.argmax(lf, axis=-1)[:, None]
+
+
+def test_generate_quantized_cache_matches_float_transcript():
+    model = _model(seed=2)
+    src = jnp.asarray([[3, 1, 4, 1, 5, 9]])
+    a = np.asarray(model.generate(src, 8))
+    b = np.asarray(model.generate(src, 8, quantized_cache=True))
+    # greedy transcripts over a random-weight model: int8 KV noise may
+    # eventually flip a token; the leading tokens must agree
+    assert (a[0, :4] == b[0, :4]).all(), (a, b)
+
+
+def test_engine_matches_generate():
+    """Engine greedy transcript == model.generate on the same source."""
+    model = _model(seed=3)
+    src = [7, 8, 9, 10]
+    n = 6
+    ref = np.asarray(model.generate(jnp.asarray([src]), n))[0]
+    eng = Seq2SeqEngine(model, max_slots=2, max_new_tokens=16)
+    req = Request(prompt=src, max_new_tokens=n)
+    eng.submit(req)
+    fin = eng.run_to_completion(max_steps=50)
+    assert len(fin) == 1 and fin[0].id == req.id
+    assert fin[0].generated == ref[:n].tolist(), \
+        (fin[0].generated, ref.tolist())
+
+
+def test_engine_ragged_sources_isolated():
+    """Two concurrent requests with different source lengths produce the
+    same transcripts as each alone (encoder padding + cross-attention
+    masking really isolates slots)."""
+    model = _model(seed=4)
+    reqs = [[11, 12, 13], [21, 22, 23, 24, 25, 26, 27]]
+    solo = []
+    for src in reqs:
+        eng = Seq2SeqEngine(model, max_slots=1, max_new_tokens=16)
+        eng.submit(Request(prompt=src, max_new_tokens=5))
+        solo.append(eng.run_to_completion(max_steps=50)[0].generated)
+
+    eng = Seq2SeqEngine(model, max_slots=2, max_new_tokens=16)
+    rs = [Request(prompt=src, max_new_tokens=5) for src in reqs]
+    for r in rs:
+        eng.submit(r)
+    fin = {r.id: r.generated for r in eng.run_to_completion(max_steps=50)}
+    assert fin[rs[0].id] == solo[0]
+    assert fin[rs[1].id] == solo[1]
+
+
+def test_engine_slot_reuse_and_eos():
+    """More requests than slots: slots recycle; EOS frees early."""
+    model = _model(seed=5)
+    eng = Seq2SeqEngine(model, max_slots=1, max_new_tokens=16,
+                        quantized_cache=True)
+    reqs = [Request(prompt=[2, 3], max_new_tokens=4),
+            Request(prompt=[4, 5, 6], max_new_tokens=4)]
+    for r in reqs:
+        eng.submit(r)
+    fin = {r.id: r for r in eng.run_to_completion(max_steps=60)}
+    assert len(fin) == 2
+    for r in reqs:
+        assert len(fin[r.id].generated) == 4 and fin[r.id].error is None
+
+
+def test_engine_error_isolation(monkeypatch):
+    model = _model(seed=6)
+    eng = Seq2SeqEngine(model, max_slots=1, max_new_tokens=16)
+    good = Request(prompt=[1, 2], max_new_tokens=3)
+    bad = Request(prompt=[3, 4], max_new_tokens=3)
+    real = eng._prefill
+
+    def flaky(model, src, src_len, caches, enc_kvs, slot, key, temp, topp,
+              topk, plen):
+        if int(np.asarray(src)[0, 0]) == 3:
+            raise RuntimeError("injected encode fault")
+        return real(model, src, src_len, caches, enc_kvs, slot, key, temp,
+                    topp, topk, plen=plen)
+
+    eng._prefill = flaky
+    for r in (bad, good):
+        eng.submit(r)
+    fin = {r.id: r for r in eng.run_to_completion(max_steps=40)}
+    assert "injected encode fault" in fin[bad.id].error
+    assert len(fin[good.id].generated) == 3 and fin[good.id].error is None
