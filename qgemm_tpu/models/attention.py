@@ -219,6 +219,22 @@ class MultiHeadAttention:
                 k_cache = upd(kv_cache[0], k)
                 v_cache = upd(kv_cache[1], v)
                 new_cache = (k_cache, v_cache)
+            # FULL-PROMPT PREFILL (cache_index statically 0, multi-token q):
+            # attend the just-projected K/V block with the flash kernel
+            # instead of masked jnp attention against the ENTIRE padded
+            # cache extent — O(S_p * d) HBM instead of O(S_p * S_max)
+            # scores, and unquantized K/V (exact, vs reading back the int8
+            # rows just written). The cache write above still happened.
+            prefill0 = (isinstance(cache_index, int) and cache_index == 0
+                        and causal and q.shape[2] == k.shape[2]
+                        and q.shape[2] >= 128
+                        and jax.default_backend() != "cpu")
+            if prefill0 and self._tp:
+                prefill0 = \
+                    q.shape[1] % self.w_o.mesh.shape[self.w_o.tp_axis] == 0
+            if prefill0:
+                out = _dispatch_attention(q, k, v, causal=True, mha=self)
+                return self.w_o(self._merge(out)), new_cache
             s_max = k_cache.shape[2]
             kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, q.shape[2], s_max), 3)
             valid = kj < (idx + k.shape[2])

@@ -21,9 +21,12 @@ import jax.numpy as jnp
 
 from qgemm_tpu.ops.quantize import (
     QuantizedWeight,
+    QuantizedWeight4,
     quantize_weights,
+    quantize_weights_int4,
     quantized_matmul_prequant,
     quantized_matmul_prequant_outlier,
+    quantized_matmul_prequant_w4,
 )
 from qgemm_tpu.utils.prng import uniform_init
 
@@ -50,9 +53,18 @@ class Linear:
         return y
 
     def quantize(self, outlier_threshold: float = 0.0,
-                 outlier_capacity: int = 32) -> "QuantizedLinear":
+                 outlier_capacity: int = 32, bits: int = 8) -> "QuantizedLinear":
         """outlier_threshold > 0 enables LLM.int8() mixed-precision
-        decomposition at inference (outlier activation dims in bf16)."""
+        decomposition at inference (outlier activation dims in bf16).
+        ``bits=4``: W4A8 — int4 group-quantized weights through the fused
+        w4a8 kernel (halves weight HBM again; group-128 scales; not
+        composable with the outlier path — its mixed-precision rows assume
+        the int8 layout)."""
+        if bits == 4:
+            assert outlier_threshold == 0.0, \
+                "outlier decomposition requires the int8 weight layout"
+            return QuantizedLinear(wq=quantize_weights_int4(self.w), b=self.b,
+                                   out_features=self.w.shape[1])
         return QuantizedLinear(wq=quantize_weights(self.w), b=self.b,
                                out_features=self.w.shape[1],
                                outlier_threshold=outlier_threshold,
@@ -93,6 +105,12 @@ class QuantizedLinear:
                 gather_output: bool = True) -> "QuantizedLinear":
         from dataclasses import replace
         p = mesh.shape[axis]
+        if isinstance(self.wq, QuantizedWeight4):
+            # W4A8 stays single-kernel under a mesh for now (the packed
+            # nibble rows + group scales would both need K-aligned shard
+            # math); GSPMD replicates the weight and reshards activations —
+            # correct, not bandwidth-optimal. Use bits=8 for TP serving.
+            return self
         k, n = self.wq.q.shape
         if (mode == "column" and n % p) or (mode == "row" and k % p):
             # indivisible shard dim (e.g. odd vocab): stay single-kernel —
@@ -103,6 +121,8 @@ class QuantizedLinear:
                        gather_output=gather_output, mesh=mesh)
 
     def _matmul(self, x2):
+        if isinstance(self.wq, QuantizedWeight4):
+            return quantized_matmul_prequant_w4(x2, self.wq)
         if self.tp_mode == "column":
             from qgemm_tpu.parallel.tp_ops import tp_quantized_matmul_column
             return tp_quantized_matmul_column(

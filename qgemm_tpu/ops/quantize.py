@@ -87,6 +87,69 @@ def quantize_weights(w, rounding: str = "nearest") -> QuantizedWeight:
     return QuantizedWeight(q=q, c=c)
 
 
+class QuantizedWeight4(NamedTuple):
+    """int4 group-quantized weight (W4A8 serving artifact — LiquidGEMM /
+    AWQ direction, PAPERS.md): packed nibbles + per-(128-row K-group,
+    column) absmax scales. Decode streams the whole weight matrix per
+    token, so int4 halves the int8 path's dominant HBM traffic again; the
+    group scales recover the accuracy a single per-column int4 scale would
+    lose. The true K extent is implicit (callers know x.shape[-1]; the
+    pad groups are zeros and contribute nothing)."""
+    qp: jax.Array  # int8 [ceil(k/GROUP)*GROUP/2, n] packed (pack_int4 layout)
+    c: jax.Array   # f32  [ceil(k/GROUP), n] per-group column absmax
+
+
+def quantize_weights_int4(w) -> QuantizedWeight4:
+    """w [k, n] -> QuantizedWeight4 (group size 128 along K; K is
+    zero-padded to a group multiple — zero rows quantize to zero).
+
+    The per-group scale is MSE-optimal over a clip-ratio grid rather than
+    plain absmax: at 4 bits the absmax scale wastes most of the grid on
+    one tail value (Gaussian group absmax ~3.2 sigma vs 15 levels), and
+    clipping the tail in exchange for a finer interior grid reduces the
+    reconstruction MSE by ~25% (measured: rel err 0.118 -> 0.089 on
+    Gaussian weights). Offline-only cost: 6 candidate quantizations."""
+    from qgemm_tpu.ops.pallas.w4a8_matmul import GROUP, W4RANGE, pack_int4
+    k, n = w.shape
+    kp = -(-k // GROUP) * GROUP
+    wf = jnp.pad(w.astype(jnp.float32), ((0, kp - k), (0, 0)))
+    wg = wf.reshape(kp // GROUP, GROUP, n)
+    cmax = jnp.maximum(jnp.max(jnp.abs(wg), axis=1), _EPS)     # [KG, n]
+
+    def mse_for(alpha):
+        c = cmax * alpha
+        q = jnp.clip(jnp.round(wg * (W4RANGE / c[:, None, :])), -W4RANGE,
+                     W4RANGE)
+        err = q * (c[:, None, :] / W4RANGE) - wg
+        return jnp.sum(err * err, axis=1), c
+
+    alphas = (1.0, 0.9, 0.8, 0.7, 0.6, 0.5)
+    mses, cs = zip(*(mse_for(a) for a in alphas))
+    best = jnp.argmin(jnp.stack(mses), axis=0)                 # [KG, n]
+    c = jnp.take_along_axis(jnp.stack(cs), best[None], axis=0)[0]
+    q = jnp.clip(jnp.round(wg * (W4RANGE / c[:, None, :])), -W4RANGE,
+                 W4RANGE).astype(jnp.int32).reshape(kp, n)
+    return QuantizedWeight4(qp=pack_int4(q), c=c)
+
+
+def dequantize_weights_int4(wq4: QuantizedWeight4, k=None, dtype=jnp.float32):
+    """jnp oracle: reconstruct the (lossy) float weights ([:k] when the
+    true K extent is given)."""
+    from qgemm_tpu.ops.pallas.w4a8_matmul import GROUP, W4RANGE, unpack_int4
+    q = unpack_int4(wq4.qp).astype(jnp.float32)                # [kp, n]
+    kp, n = q.shape
+    w = q.reshape(kp // GROUP, GROUP, n) * (wq4.c[:, None, :] / W4RANGE)
+    w = w.reshape(kp, n)
+    return (w if k is None else w[:k]).astype(dtype)
+
+
+def quantized_matmul_prequant_w4(x, wq4: QuantizedWeight4):
+    """x [m, k] @ int4 weights via the fused W4A8 kernel (interpreter mode
+    on CPU — the same program, so transcripts are backend-independent)."""
+    from qgemm_tpu.ops.pallas.w4a8_matmul import w4a8_matmul_pallas
+    return w4a8_matmul_pallas(x, wq4.qp, wq4.c)
+
+
 # ---------------------------------------------------------------------------
 # int8 matmul
 # ---------------------------------------------------------------------------

@@ -120,6 +120,10 @@ def main():
                     help="also time the LLM.int8() mixed-precision "
                          "decomposition path (threshold 6.0, capacity 32 "
                          "per GEMM) — the >6.7B accuracy regime")
+    ap.add_argument("--w4", action="store_true",
+                    help="also time W4A8 (int4 group-quantized weights — "
+                         "halves weight HBM again over int8; decode is "
+                         "weight-bound so this is the bandwidth headline)")
     args = ap.parse_args()
 
     from dataclasses import replace as _replace
@@ -140,6 +144,13 @@ def main():
         q = model.quantize()
         runs = [("bf16", model, False), ("int8", q, False),
                 ("int8+int8kv", q, True)]
+    if args.w4:
+        if args.int8_only:
+            q4 = GPT.init_quantized(cfg, key=jax.random.PRNGKey(args.seed),
+                                    bits=4)
+        else:
+            q4 = model.quantize(bits=4)
+        runs.append(("w4a8+int8kv", q4, True))
     if args.outliers:
         # same int8 weights, outlier decomposition switched on (it is a
         # meta field of QuantizedLinear — no reconversion needed)

@@ -94,6 +94,19 @@ def main():
               x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)),
         flops, m * k * 2 + k * n * 2 + m * n * 4, BF16_FLOPS)
 
+    # ---- W4A8 (int4 group-quantized weights), decode-shaped ---------------
+    from qgemm_tpu.ops.pallas.w4a8_matmul import w4a8_matmul_pallas
+    from qgemm_tpu.ops.quantize import quantize_weights_int4
+    m4, k4, n4 = 8, 16384, 4096
+    x4 = jax.random.uniform(k1, (m4, k4), jnp.float32, minval=-1, maxval=1)
+    w4_ = jax.random.uniform(k2, (k4, n4), jnp.float32, minval=-1, maxval=1)
+    wq4 = quantize_weights_int4(w4_)
+    row("w4a8 qmm 8x16384x4096 (decode-shaped)",
+        bench(lambda a: w4a8_matmul_pallas(a, wq4.qp, wq4.c), x4),
+        2 * m4 * n4 * k4,
+        m4 * k4 * 4 + k4 * n4 // 2 + (k4 // 128) * n4 * 4 + m4 * n4 * 4,
+        INT8_TOPS)
+
     # ---- decode attention over int8 KV cache (HBM-bound) ------------------
     from qgemm_tpu.ops.kv_cache import quantize_kv
     from qgemm_tpu.ops.pallas.decode_attention import decode_attention

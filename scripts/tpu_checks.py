@@ -149,6 +149,21 @@ def main():
     assert err < 5e-3, f"ragged paged kernel vs oracle: {err}"
     results["ragged_parity"] = "ok"
 
+    # 5c. W4A8 kernel == dequantized-weight oracle on hardware
+    from qgemm_tpu.ops.quantize import (dequantize_weights_int4,
+                                        quantize_weights_int4,
+                                        quantized_matmul_prequant_w4)
+    for (m4, k4, n4) in ((256, 2048, 1024), (33, 300, 130)):
+        x4 = jnp.asarray(rng.normal(size=(m4, k4)).astype(np.float32))
+        w4 = jnp.asarray(rng.normal(size=(k4, n4)).astype(np.float32)
+                         / (k4 ** 0.5))
+        wq4 = quantize_weights_int4(w4)
+        got4 = quantized_matmul_prequant_w4(x4, wq4)
+        ref4 = x4 @ dequantize_weights_int4(wq4, k=k4)
+        rel4 = float(jnp.linalg.norm(got4 - ref4) / jnp.linalg.norm(ref4))
+        assert rel4 < 0.02, f"w4a8 {m4}x{k4}x{n4}: {rel4}"
+    results["w4a8_parity"] = "ok"
+
     # 6. TP serving runs the SAME fused kernels inside shard_map: on a
     #    1-device model mesh, the TP decode step's compiled HLO must contain
     #    the Pallas custom-calls (one per layer for decode attention, plus

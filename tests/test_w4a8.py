@@ -1,0 +1,95 @@
+"""W4A8: int4 group-quantized weights x int8 activations (beyond-reference,
+LiquidGEMM/AWQ direction — PAPERS.md; decode is weight-HBM-bound, int4
+halves the int8 path's dominant traffic again)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qgemm_tpu.ops.pallas.w4a8_matmul import (GROUP, W4RANGE, pack_int4,
+                                              unpack_int4)
+from qgemm_tpu.ops.quantize import (dequantize_weights_int4,
+                                    quantize_weights_int4,
+                                    quantized_matmul_prequant_w4)
+from qgemm_tpu.utils.testing import assert_allclose
+
+RNG = np.random.default_rng(31)
+
+
+def test_pack_unpack_roundtrip():
+    q = RNG.integers(-7, 8, size=(2 * GROUP, 384)).astype(np.int32)
+    packed = pack_int4(jnp.asarray(q))
+    assert packed.shape == (GROUP, 384) and packed.dtype == jnp.int8
+    out = unpack_int4(packed)
+    np.testing.assert_array_equal(np.asarray(out), q)
+
+
+def test_quantize_dequantize_error():
+    """Group-128 int4 with the MSE-optimal clip: reconstruction error
+    beats the plain-absmax scale and stays in the known int4 regime."""
+    w = jnp.asarray(RNG.normal(size=(512, 256)).astype(np.float32))
+    wq4 = quantize_weights_int4(w)
+    wd = dequantize_weights_int4(wq4, k=512)
+    rel = float(jnp.linalg.norm(wd - w) / jnp.linalg.norm(w))
+
+    # plain absmax reference scheme
+    wg = np.asarray(w).reshape(4, GROUP, 256)
+    c = np.abs(wg).max(axis=1)
+    q = np.clip(np.round(wg * (W4RANGE / c[:, None])), -W4RANGE, W4RANGE)
+    wd_absmax = q * (c[:, None] / W4RANGE)
+    rel_absmax = float(np.linalg.norm(wd_absmax.reshape(512, 256) - np.asarray(w))
+                       / np.linalg.norm(np.asarray(w)))
+    assert rel < rel_absmax, (rel, rel_absmax)
+    assert rel < 0.12, rel
+
+
+def test_w4a8_matmul_matches_dequant_oracle():
+    """Kernel (interpret on CPU) == x_int8-quantized @ dequantized weights
+    within the activation-quantization tolerance."""
+    for m, k, n in ((64, 256, 128), (33, 300, 130), (8, 2048 + 256, 384)):
+        x = jnp.asarray(RNG.normal(size=(m, k)).astype(np.float32))
+        w = jnp.asarray(RNG.normal(size=(k, n)).astype(np.float32)
+                        / (k ** 0.5))
+        wq4 = quantize_weights_int4(w)
+        got = quantized_matmul_prequant_w4(x, wq4)
+        ref = x @ dequantize_weights_int4(wq4, k=k)
+        # remaining delta is the int8 activation grid (~1/127 relative)
+        rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.02, (m, k, n, rel)
+
+
+def test_w4_vs_f32_model_error():
+    """End-to-end relative error of W4A8 vs float: the int4 weight grid
+    dominates (the known ~9-12% regime for Gaussian weights at group 128;
+    int8's is ~1%) — the memory/bandwidth-for-accuracy trade the W4 paper
+    line makes explicit."""
+    x = jnp.asarray(RNG.normal(size=(32, 512)).astype(np.float32))
+    w = jnp.asarray(RNG.normal(size=(512, 512)).astype(np.float32) / 23)
+    ref = x @ w
+    got = quantized_matmul_prequant_w4(x, quantize_weights_int4(w))
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.12, rel
+
+
+def test_linear_bits4_and_gpt_generate():
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    from qgemm_tpu.models.linear import Linear
+
+    lin = Linear.init(jax.random.PRNGKey(0), 256, 128)
+    q4 = lin.quantize(bits=4)
+    x = jnp.asarray(RNG.normal(size=(4, 256)).astype(np.float32))
+    rel = float(jnp.linalg.norm(q4(x) - lin(x)) / jnp.linalg.norm(lin(x)))
+    assert rel < 0.12, rel
+
+    cfg = GPTConfig(vocab_size=64, d_model=128, n_heads=4, d_ff=256,
+                    n_layers=2, max_seq_len=32)
+    m = GPT.init(cfg, key=jax.random.PRNGKey(1))
+    m4 = m.quantize(bits=4)
+    out = jax.jit(lambda mm, p: mm.generate(p, 4))(m4, jnp.asarray([[1, 2, 3]]))
+    assert out.shape == (1, 4)
+    # engine serves the w4 model
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+    eng = ContinuousBatchingEngine(m4, max_slots=2)
+    eng.submit(Request(prompt=[5, 6], max_new_tokens=4))
+    fin = eng.run_to_completion(max_steps=30)
+    assert len(fin[0].generated) == 4
