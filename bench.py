@@ -89,9 +89,17 @@ def main():
         t_pre = bench_ms(
             lambda a: quantized_matmul_prequant_pallas(a, wq.q, wq.c),
             x, iters=iters, base=base)
+        from qgemm_tpu.ops.pallas.w4a8_matmul import w4a8_matmul_pallas
+        from qgemm_tpu.ops.quantize import quantize_weights_int4
+        wq4 = quantize_weights_int4(w)
+        t_w4 = bench_ms(lambda a: w4a8_matmul_pallas(a, wq4.qp, wq4.c),
+                        x, iters=iters, base=base)
+        log(f"w4a8 (int4 W)  : {t_w4:.4f} ms  ({gflop / t_w4:.1f} TFLOP/s)  "
+            f"[int4 group-128 weights, beyond-reference]")
     else:  # CPU smoke mode: interpret-mode pallas is too slow, use XLA path
         t_dyn = bench_ms(quantized_matmul_xla, x, w, iters=iters, base=base)
         t_pre = t_dyn
+        t_w4 = None
     log(f"int8 dynamic   : {t_dyn:.4f} ms  ({gflop / t_dyn:.1f} TFLOP/s)  "
         f"[quantize X+W, mm, dequant — reference pipeline parity]")
     log(f"int8 prequant  : {t_pre:.4f} ms  ({gflop / t_pre:.1f} TFLOP/s)  "
@@ -114,6 +122,7 @@ def main():
             "int8_dynamic_ms": round(t_dyn, 4),
             "int8_prequant_ms": round(t_pre, 4),
             "int8_vs_bf16": round(t_bf16 / t_dyn, 4),
+            **({"w4a8_ms": round(t_w4, 4)} if t_w4 else {}),
         },
     }))
 

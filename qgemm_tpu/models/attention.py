@@ -158,6 +158,14 @@ class MultiHeadAttention:
         jnp path (the flash kernel takes causal/padding masks only).
         """
         q = self._split(self.wqkv_q(x_q))
+        if precomputed_kv is not None and len(precomputed_kv) == 4:
+            # int8 cross-attention K/V (seq2seq serving: the encoder output's
+            # K/V are static across every decode step, so they are quantized
+            # ONCE at admission and read int8 forever after — same factored
+            # dequant as the int8 self-cache, halving the per-step cross
+            # read). 4-tuple (kq int8, kc f32 absmax, vq, vc).
+            out = _quantized_cross_attention(q, *precomputed_kv, mask=mask)
+            return self.w_o(self._merge(out))
         if precomputed_kv is not None:
             k, v = precomputed_kv
         else:
@@ -297,6 +305,26 @@ class MultiHeadAttention:
         else:
             out = _dispatch_attention(q, k, v, causal=causal, mha=self)
         return self.w_o(self._merge(out))
+
+
+def _quantized_cross_attention(q, kq, kc, vq, vc, mask=None):
+    """q [B,H,Sq,D]; kq/vq int8 [B,H,S,D]; kc/vc f32 [B,H,S,1] per-position
+    absmax. Scales are factored OUT of the matmuls (q.(kq*kc) == (q.kq)*kc
+    and p@(vq*vc) == (p*vc)@vq) so the dequantized cache never
+    materializes; dots in bf16 so HBM reads stay int8 (see the int8
+    self-cache path)."""
+    from qgemm_tpu.ops.kv_cache import QRANGE
+    d = q.shape[-1]
+    cd = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    s = jnp.einsum("...qd,...kd->...qk", q.astype(cd),
+                   kq.astype(cd)).astype(jnp.float32)
+    s = s * (kc[..., 0] / (QRANGE * d ** 0.5))[:, :, None, :]
+    if mask is not None:
+        s = jnp.where(mask[:, None, None, :], s, -1e30)
+    p = softmax(s, axis=-1)
+    p = p * (vc[..., 0] * (1.0 / QRANGE))[:, :, None, :]
+    return jnp.einsum("...qk,...kv->...qv", p.astype(cd),
+                      vq.astype(cd)).astype(q.dtype)
 
 
 def _tp_dense_decode(mha, q, cache, lengths):

@@ -85,9 +85,21 @@ class Seq2SeqEngine:
                                        quantized=quantized_cache)
         dh = cfg.d_model // cfg.n_heads
         s_src = self.max_src_len
-        zkv = lambda: jnp.zeros((max_slots, cfg.n_heads, s_src, dh),
-                                cfg.jdtype)
-        self.enc_kvs = [(zkv(), zkv()) for _ in model.dec_blocks]
+        if quantized_cache:
+            # int8 cross-attention K/V too: the encoder output is static
+            # across all of a request's decode steps, so it is quantized
+            # once at admission and every step's cross read is int8 —
+            # halving the second-largest per-step HBM stream
+            z8 = lambda: jnp.zeros((max_slots, cfg.n_heads, s_src, dh),
+                                   jnp.int8)
+            zc = lambda: jnp.ones((max_slots, cfg.n_heads, s_src, 1),
+                                  jnp.float32)
+            self.enc_kvs = [(z8(), zc(), z8(), zc())
+                            for _ in model.dec_blocks]
+        else:
+            zkv = lambda: jnp.zeros((max_slots, cfg.n_heads, s_src, dh),
+                                    cfg.jdtype)
+            self.enc_kvs = [(zkv(), zkv()) for _ in model.dec_blocks]
         self.src_lens = jnp.zeros((max_slots,), jnp.int32)
 
         self.positions = jnp.zeros((max_slots,), jnp.int32)
@@ -126,14 +138,20 @@ class Seq2SeqEngine:
         zero = jnp.zeros((), jnp.int32)
 
         fresh, new_enc_kvs = [], []
-        for blk, (ek, ev) in zip(model.dec_blocks, enc_kvs):
+        for blk, layer_kv in zip(model.dec_blocks, enc_kvs):
             k, v = blk.cross_attn.precompute_kv(enc_out)    # [1, H, plen, Dh]
             fresh.append((k, v))
-            new_enc_kvs.append((
-                jax.lax.dynamic_update_slice(ek, k.astype(ek.dtype),
-                                             (slot, zero, zero, zero)),
-                jax.lax.dynamic_update_slice(ev, v.astype(ev.dtype),
-                                             (slot, zero, zero, zero))))
+            if len(layer_kv) == 4:                          # int8 cross cache
+                from qgemm_tpu.ops.kv_cache import quantize_kv
+                kq, kc = quantize_kv(k)
+                vq, vc = quantize_kv(v)
+                parts = (kq, kc, vq, vc)
+            else:
+                parts = (k, v)
+            new_enc_kvs.append(tuple(
+                jax.lax.dynamic_update_slice(dst, src.astype(dst.dtype),
+                                             (slot, zero, zero, zero))
+                for dst, src in zip(layer_kv, parts)))
 
         # BOS step with a throwaway 1-slot cache, scattered into the shared
         # cache at the slot (same pattern as the GPT engine's prefill);

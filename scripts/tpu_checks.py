@@ -149,6 +149,26 @@ def main():
     assert err < 5e-3, f"ragged paged kernel vs oracle: {err}"
     results["ragged_parity"] = "ok"
 
+    # 5d. ring attention executes its flash-composed body on hardware
+    #     (1-device 'seq' mesh: the ring degenerates to one causal flash
+    #     call + a no-op ppermute — validates the shard_map+kernel+custom-
+    #     VJP composition compiles and matches the jnp oracle on TPU)
+    from jax.sharding import Mesh
+    from qgemm_tpu.models.attention import scaled_dot_product_attention
+    from qgemm_tpu.parallel.ring_attention import ring_attention
+    rmesh = Mesh(np.array(jax.devices()[:1]), ("seq",))
+    qr = jnp.asarray(rng.normal(size=(1, 2, 512, 128)).astype(np.float32))
+    kr = jnp.asarray(rng.normal(size=(1, 2, 512, 128)).astype(np.float32))
+    vr = jnp.asarray(rng.normal(size=(1, 2, 512, 128)).astype(np.float32))
+    got_r = ring_attention(qr, kr, vr, mesh=rmesh, causal=True)
+    ref_r = scaled_dot_product_attention(qr, kr, vr, causal=True)
+    rel_r = float(jnp.linalg.norm(got_r - ref_r) / jnp.linalg.norm(ref_r))
+    assert rel_r < 5e-3, f"ring attention vs oracle on TPU: {rel_r}"
+    gr_ = jax.grad(lambda q: jnp.sum(ring_attention(
+        q, kr, vr, mesh=rmesh, causal=True).astype(jnp.float32) ** 2))(qr)
+    assert bool(jnp.isfinite(gr_).all())
+    results["ring_parity"] = "ok"
+
     # 5c. W4A8 kernel == dequantized-weight oracle on hardware
     from qgemm_tpu.ops.quantize import (dequantize_weights_int4,
                                         quantize_weights_int4,

@@ -118,3 +118,38 @@ def test_engine_error_isolation(monkeypatch):
     fin = {r.id: r for r in eng.run_to_completion(max_steps=40)}
     assert "injected encode fault" in fin[bad.id].error
     assert len(fin[good.id].generated) == 3 and fin[good.id].error is None
+
+
+def test_quantized_cross_attention_matches_float():
+    """int8 cross-attention K/V (factored dequant) tracks the float path
+    within KV-quantization noise, including source masking."""
+    from qgemm_tpu.models.attention import (_quantized_cross_attention,
+                                            scaled_dot_product_attention)
+    from qgemm_tpu.ops.kv_cache import quantize_kv
+
+    q = jnp.asarray(RNG.normal(size=(2, 4, 1, 32)), jnp.float32)
+    k = jnp.asarray(RNG.normal(size=(2, 4, 16, 32)), jnp.float32)
+    v = jnp.asarray(RNG.normal(size=(2, 4, 16, 32)), jnp.float32)
+    mask = jnp.asarray(np.arange(16)[None, :] < np.asarray([[9], [16]]))
+    kq, kc = quantize_kv(k)
+    vq, vc = quantize_kv(v)
+    got = _quantized_cross_attention(q, kq, kc, vq, vc, mask=mask)
+    ref = scaled_dot_product_attention(q, k, v, mask=mask[:, None, None, :])
+    assert_allclose(got, ref, rtol=5e-2, atol=5e-2)
+
+
+def test_engine_quantized_enc_kv_transcripts():
+    """quantized_cache=True quantizes the cross-attention K/V too; the
+    engine still produces float-engine transcripts on the leading tokens
+    (divergence beyond that is int8 noise on a random-weight model)."""
+    model = _model(seed=8)
+    src = [7, 8, 9, 10, 11]
+
+    def run(quantized):
+        eng = Seq2SeqEngine(model, max_slots=1, max_new_tokens=16,
+                            quantized_cache=quantized)
+        eng.submit(Request(prompt=src, max_new_tokens=6))
+        return eng.run_to_completion(max_steps=40)[0].generated
+
+    f, qz = run(False), run(True)
+    assert f[:3] == qz[:3], (f, qz)
