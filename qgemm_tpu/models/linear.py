@@ -106,11 +106,18 @@ class QuantizedLinear:
         from dataclasses import replace
         p = mesh.shape[axis]
         if isinstance(self.wq, QuantizedWeight4):
-            # W4A8 stays single-kernel under a mesh for now (the packed
-            # nibble rows + group scales would both need K-aligned shard
-            # math); GSPMD replicates the weight and reshards activations —
-            # correct, not bandwidth-optimal. Use bits=8 for TP serving.
-            return self
+            # W4A8 TP: column shards N; row shards whole scale GROUPS (the
+            # pack layout is group-major, so a groups-even K split is a
+            # clean row split of both the packed values and the scales).
+            # Row mode additionally requires K unpadded (true K == packed
+            # extent) so activation shards line up with weight shards.
+            n = self.wq.qp.shape[1]
+            kg = self.wq.c.shape[0]
+            ok = (n % p == 0) if mode == "column" else (kg % p == 0)
+            if not ok:
+                return self
+            return replace(self, tp_mode=mode, tp_axis=axis,
+                           gather_output=gather_output, mesh=mesh)
         k, n = self.wq.q.shape
         if (mode == "column" and n % p) or (mode == "row" and k % p):
             # indivisible shard dim (e.g. odd vocab): stay single-kernel —
@@ -122,6 +129,15 @@ class QuantizedLinear:
 
     def _matmul(self, x2):
         if isinstance(self.wq, QuantizedWeight4):
+            if self.tp_mode == "column":
+                from qgemm_tpu.parallel.tp_ops import tp_w4a8_matmul_column
+                return tp_w4a8_matmul_column(
+                    x2, self.wq.qp, self.wq.c, self.mesh, self.tp_axis,
+                    gather_output=self.gather_output)
+            if self.tp_mode == "row":
+                from qgemm_tpu.parallel.tp_ops import tp_w4a8_matmul_row
+                return tp_w4a8_matmul_row(x2, self.wq.qp, self.wq.c,
+                                          self.mesh, self.tp_axis)
             return quantized_matmul_prequant_w4(x2, self.wq)
         if self.tp_mode == "column":
             from qgemm_tpu.parallel.tp_ops import tp_quantized_matmul_column

@@ -85,6 +85,52 @@ def tp_quantized_matmul_column(x, wq, cw, mesh: Mesh, axis: str = "model",
     return out
 
 
+def tp_w4a8_matmul_column(x, qp, c, mesh: Mesh, axis: str = "model",
+                          gather_output: bool = True):
+    """W4A8 column parallelism: packed int4 weights + group scales sharded
+    on N; every device runs the fused w4a8 kernel on its shard."""
+    from qgemm_tpu.ops.pallas.w4a8_matmul import w4a8_matmul_pallas
+
+    def body(x, qp, c):
+        return w4a8_matmul_pallas(x, qp, c)
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(P(), P(None, axis), P(None, axis)),
+                  out_specs=P(None, axis), check_rep=False)
+    out = f(x, qp, c)
+    if gather_output:
+        gather = shard_map(
+            functools.partial(jax.lax.all_gather, axis_name=axis, axis=1,
+                              tiled=True),
+            mesh=mesh, in_specs=P(None, axis), out_specs=P(), check_rep=False)
+        out = gather(out)
+    return out
+
+
+def tp_w4a8_matmul_row(x, qp, c, mesh: Mesh, axis: str = "model"):
+    """W4A8 row parallelism: x sharded on K, packed rows + group scales
+    sharded on K (group-aligned — the pack layout is group-major so a
+    groups-even split is a clean row split), ONE psum of the partials.
+
+    Unlike the int8 row path there is no global-activation-grid pmax: the
+    w4a8 kernel quantizes each K slab on its own per-slab grid and
+    dequantizes with the same grid, so per-device partials are exact
+    contributions regardless of how K is split."""
+    from qgemm_tpu.ops.pallas.w4a8_matmul import w4a8_matmul_pallas
+
+    def body(x, qp, c):
+        assert x.shape[-1] == 2 * qp.shape[0], (
+            f"w4a8 row-TP needs the true K ({x.shape[-1]}) to equal the "
+            f"packed extent ({2 * qp.shape[0]}) — pad K to a multiple of "
+            "group*p before sharding")
+        return jax.lax.psum(w4a8_matmul_pallas(x, qp, c), axis)
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(P(None, axis), P(axis, None), P(axis, None)),
+                  out_specs=P(), check_rep=False)
+    return f(x, qp, c)
+
+
 def tp_quantized_matmul_row(x, wq, cw, mesh: Mesh, axis: str = "model"):
     """x [M, K] sharded on K (i.e. the column-parallel predecessor's output);
     wq [K, N] int8 sharded on K; cw [1, N] replicated (column absmax is a

@@ -266,3 +266,47 @@ def test_tp_quantized_encoder_decoder_parity():
     g_ref = jax.jit(lambda m, s: m.generate(s, 4))(qm, src)
     g_out = jax.jit(lambda m, s: m.generate(s, 4))(qms, src)
     assert bool(jnp.all(g_ref == g_out))
+
+
+def test_w4a8_tp_ops_match_single_chip():
+    """W4A8 column/row tensor parallelism == the single-chip kernel
+    (column: exact — same per-row activation grid; row: within
+    activation-quant noise — each K shard quantizes on its own slab grid,
+    mathematically the per-slab scheme the kernel uses anyway)."""
+    from qgemm_tpu.ops.quantize import (quantize_weights_int4,
+                                        quantized_matmul_prequant_w4)
+    from qgemm_tpu.parallel.tp_ops import (tp_w4a8_matmul_column,
+                                           tp_w4a8_matmul_row)
+
+    mesh = make_mesh((1, 4), ("data", "model"))
+    x = jnp.asarray(RNG.normal(size=(16, 512)).astype(np.float32))
+    w = jnp.asarray(RNG.normal(size=(512, 256)).astype(np.float32) / 20)
+    wq4 = quantize_weights_int4(w)
+    ref = quantized_matmul_prequant_w4(x, wq4)
+
+    col = tp_w4a8_matmul_column(x, wq4.qp, wq4.c, mesh)
+    assert_allclose(col, ref, rtol=1e-5, atol=1e-5)
+
+    row = tp_w4a8_matmul_row(x, wq4.qp, wq4.c, mesh)
+    assert_allclose(row, ref, rtol=5e-2, atol=5e-2)
+
+
+def test_w4a8_tp_model_forward():
+    """A bits=4 GPT under shard_quantized_model matches the single-device
+    w4 model within row-TP activation-grid noise; indivisible layers fall
+    back to the single kernel (graceful)."""
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    from qgemm_tpu.parallel.sharding import shard_quantized_model
+
+    mesh = make_mesh((1, 8), ("data", "model"))
+    cfg = GPTConfig(vocab_size=64, d_model=1024, n_heads=8, d_ff=2048,
+                    n_layers=1, max_seq_len=16)
+    q4 = GPT.init(cfg, key=jax.random.PRNGKey(2)).quantize(bits=4)
+    q4s = shard_quantized_model(q4, mesh)
+    # the FFN-down row layer really is marked for shard_map TP
+    assert q4s.blocks[0].ffn.down.tp_mode == "row"
+    assert q4s.blocks[0].attn.wqkv_q.tp_mode == "column"
+    toks = jnp.asarray(RNG.integers(0, 64, size=(1, 8)), jnp.int32)
+    ref = jax.jit(lambda m, t: m.forward(t))(q4, toks)
+    out = jax.jit(lambda m, t: m.forward(t))(q4s, toks)
+    assert_allclose(out, ref, rtol=5e-2, atol=5e-2)
