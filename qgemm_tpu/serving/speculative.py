@@ -1,0 +1,117 @@
+"""Speculative decoding: a cheap DRAFT model proposes gamma tokens, the
+TARGET verifies them in one multi-token forward, and the longest agreeing
+prefix is accepted — exact greedy-target transcripts with (accepted+1)
+tokens per target pass instead of 1.
+
+TPU-native design points:
+
+  * everything is ONE jitted lax.while_loop with static shapes: the
+    output buffer is padded by gamma+1 so a round can always write its
+    full candidate block; per-round acceptance is data (cumprod of the
+    match mask), not shape;
+  * both models share the framework's position-masked static KV caches,
+    which make speculation natural: the draft's and target's caches are
+    simply written at the positions each token WOULD occupy, and rejected
+    positions hold garbage that is never attended (decode masks strictly
+    by position) and is overwritten by the next round;
+  * the draft runs gamma+1 decode steps (the extra step only writes the
+    last proposal's K/V so a fully-accepted round leaves no cache hole);
+    the target verifies with one ``prefill_chunk`` at the round's offset
+    (the same traced-offset program chunked prefill uses).
+
+The natural DRAFT here is quantization self-speculation: a W4A8 copy of
+the target (``target.quantize(bits=4)``) steps ~1.8x faster and agrees
+with the int8/bf16 target on most greedy tokens, so no second model needs
+training — see scripts/bench_speculative.py for measured acceptance and
+tokens/s. No reference counterpart (the reference generates nothing).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SpecResult(NamedTuple):
+    tokens: jax.Array   # [max_new_tokens] int32 — the greedy transcript
+    rounds: jax.Array   # scalar int32 — target forwards taken
+    drafted: jax.Array  # scalar int32 — draft tokens proposed
+    accepted: jax.Array  # scalar int32 — draft tokens accepted
+
+
+@functools.partial(jax.jit, static_argnames=("max_new_tokens", "gamma",
+                                             "quantized_cache"))
+def speculative_generate(target, draft, prompt, max_new_tokens: int,
+                         gamma: int = 4,
+                         quantized_cache: bool = False) -> SpecResult:
+    """Greedy speculative decoding, batch 1. prompt [1, S_p] int32.
+
+    Produces the target's greedy transcript (acceptance compares the
+    draft's greedy choices against the target's own; any disagreement
+    truncates to the target's token), in ``rounds`` target forwards
+    instead of max_new_tokens. Exactness caveat: the verifier scores
+    gamma+1 positions in one chunk forward while sequential decode scores
+    one at a time — in f32 the transcripts match exactly (tested); in
+    bf16 the two program shapes can round near-tied logits differently
+    and flip an occasional argmax, the same divergence any two decode
+    implementations of the same bf16 model exhibit."""
+    b, s_p = prompt.shape
+    assert b == 1, "speculative decoding is per-sequence (batch 1)"
+    ext = s_p + max_new_tokens + gamma + 2
+
+    tc = target.init_cache(1, ext, quantized=quantized_cache)
+    dc = draft.init_cache(1, ext, quantized=quantized_cache)
+    tl, tc = target.prefill(prompt, tc)
+    _, dc = draft.prefill(prompt, dc)
+    tok0 = jnp.argmax(tl[0, s_p - 1]).astype(jnp.int32)
+
+    buf = jnp.zeros((max_new_tokens + gamma + 1,), jnp.int32)
+    buf = buf.at[0].set(tok0)
+
+    def cond(st):
+        buf, count, cur, pos, tc, dc, rounds, acc_total = st
+        return count < max_new_tokens
+
+    def body(st):
+        buf, count, cur, pos, tc, dc, rounds, acc_total = st
+
+        # draft: gamma proposals + one extra step that only writes the
+        # last proposal's K/V (closes the full-acceptance cache hole)
+        def dstep(carry, j):
+            tok, dc = carry
+            logits, dc = draft.decode_step(tok[None, None], pos + j, dc)
+            nxt = jnp.argmax(logits[0]).astype(jnp.int32)
+            return (nxt, dc), nxt
+
+        (_, dc), props = jax.lax.scan(dstep, (cur, dc),
+                                      jnp.arange(gamma + 1))
+        d = props[:gamma]                                   # d_1..d_gamma
+
+        # target verifies [cur, d_1..d_gamma] in one chunk forward at pos
+        seq = jnp.concatenate([cur[None], d])[None, :]      # [1, gamma+1]
+        tlogits, tc = target.prefill_chunk(seq, pos, tc)
+        g = jnp.argmax(tlogits[0], axis=-1).astype(jnp.int32)  # [gamma+1]
+
+        match = (d == g[:gamma]).astype(jnp.int32)
+        acc = jnp.cumprod(match)
+        n_acc = jnp.sum(acc)                                # 0..gamma
+        # candidate block: accepted draft tokens then the target's token
+        # at the first disagreement (or its gamma+1'th token if all agree)
+        idx = jnp.arange(gamma + 1)
+        cand = jnp.where(idx < n_acc, jnp.concatenate([d, d[-1:]]),
+                         g[jnp.minimum(n_acc, gamma)])
+        buf = jax.lax.dynamic_update_slice(buf, cand, (count,))
+        produced = n_acc + 1
+        cur_new = cand[n_acc]
+        return (buf, count + produced, cur_new, pos + produced, tc, dc,
+                rounds + 1, acc_total + n_acc)
+
+    st = (buf, jnp.int32(1), tok0, jnp.int32(s_p), tc, dc, jnp.int32(1),
+          jnp.int32(0))
+    buf, count, cur, pos, tc, dc, rounds, acc_total = \
+        jax.lax.while_loop(cond, body, st)
+    return SpecResult(tokens=buf[:max_new_tokens], rounds=rounds,
+                      drafted=(rounds - 1) * gamma, accepted=acc_total)
