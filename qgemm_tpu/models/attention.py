@@ -85,7 +85,7 @@ class Attention:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=("wqkv_q", "wqkv_k", "wqkv_v", "w_o"),
-         meta_fields=("n_heads",))
+         meta_fields=("n_heads", "n_kv_heads"))
 @dataclass
 class MultiHeadAttention:
     """Batched multi-head attention with output projection.
@@ -94,28 +94,43 @@ class MultiHeadAttention:
     (transformer.cu:33-54) with a single reshaped-axis computation; the
     output projection W_O (transformer.cu:52-54) is part of the module.
     Projections may be Linear or QuantizedLinear (int8 serving path).
+
+    ``n_kv_heads < n_heads`` is grouped-query attention (GQA): K/V project
+    to n_kv_heads and each group of n_heads/n_kv_heads query heads shares
+    one KV head — the KV cache (the decode-time HBM cost) shrinks by the
+    group factor. Query heads i*g..(i+1)*g-1 attach to KV head i.
     """
 
     wqkv_q: object  # Linear | QuantizedLinear [d_model, d_model]
-    wqkv_k: object
+    wqkv_k: object  # [d_model, n_kv_heads * head_dim]
     wqkv_v: object
     w_o: object     # Linear | QuantizedLinear [d_model, d_model]
     n_heads: int
+    n_kv_heads: int = 0      # 0 = n_heads (MHA)
 
     @classmethod
     def init(cls, key, d_model: int, n_heads: int, bias: bool = False,
-             dtype=jnp.float32) -> "MultiHeadAttention":
+             dtype=jnp.float32, n_kv_heads: int = 0) -> "MultiHeadAttention":
         assert d_model % n_heads == 0
+        nkv = n_kv_heads or n_heads
+        assert n_heads % nkv == 0, (n_heads, nkv)
+        d_kv = (d_model // n_heads) * nkv
         ks = jax.random.split(key, 4)
-        mk = lambda k: Linear.init(k, d_model, d_model, bias=bias, dtype=dtype)
-        return cls(wqkv_q=mk(ks[0]), wqkv_k=mk(ks[1]), wqkv_v=mk(ks[2]),
-                   w_o=mk(ks[3]), n_heads=n_heads)
+        mk = lambda k, dout: Linear.init(k, d_model, dout, bias=bias,
+                                         dtype=dtype)
+        return cls(wqkv_q=mk(ks[0], d_model), wqkv_k=mk(ks[1], d_kv),
+                   wqkv_v=mk(ks[2], d_kv), w_o=mk(ks[3], d_model),
+                   n_heads=n_heads, n_kv_heads=n_kv_heads)
+
+    @property
+    def kv_heads(self) -> int:
+        return self.n_kv_heads or self.n_heads
 
     def quantize(self, **qkw) -> "MultiHeadAttention":
         return MultiHeadAttention(
             wqkv_q=self.wqkv_q.quantize(**qkw), wqkv_k=self.wqkv_k.quantize(**qkw),
             wqkv_v=self.wqkv_v.quantize(**qkw), w_o=self.w_o.quantize(**qkw),
-            n_heads=self.n_heads)
+            n_heads=self.n_heads, n_kv_heads=self.n_kv_heads)
 
     def with_tp(self, mesh, axis: str = "model") -> "MultiHeadAttention":
         """Megatron pairing for a quantized module: QKV column-sharded with
@@ -125,7 +140,7 @@ class MultiHeadAttention:
         return MultiHeadAttention(
             wqkv_q=col(self.wqkv_q), wqkv_k=col(self.wqkv_k),
             wqkv_v=col(self.wqkv_v), w_o=self.w_o.with_tp("row", mesh, axis),
-            n_heads=self.n_heads)
+            n_heads=self.n_heads, n_kv_heads=self.n_kv_heads)
 
     @property
     def _tp(self) -> bool:
@@ -135,14 +150,29 @@ class MultiHeadAttention:
         b, s, d = x.shape
         return x.reshape(b, s, self.n_heads, d // self.n_heads).transpose(0, 2, 1, 3)
 
+    def _split_kv(self, x):
+        b, s, d = x.shape
+        return x.reshape(b, s, self.kv_heads, d // self.kv_heads) \
+            .transpose(0, 2, 1, 3)
+
     def _merge(self, x):
         b, h, s, dh = x.shape
         return x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
 
+    def _repeat_kv(self, x):
+        """[B, Hkv, S, D] -> [B, Hq, S, D] for full-sequence paths (the
+        grouped cache paths never materialize this — see
+        _grouped_cached_attention)."""
+        g = self.n_heads // self.kv_heads
+        if g == 1:
+            return x
+        return jnp.repeat(x, g, axis=1)
+
     def precompute_kv(self, x_kv):
         """Project and head-split K/V once (cross-attention cache: the
         encoder output's K/V are static across all decode steps)."""
-        return self._split(self.wqkv_k(x_kv)), self._split(self.wqkv_v(x_kv))
+        return self._split_kv(self.wqkv_k(x_kv)), \
+            self._split_kv(self.wqkv_v(x_kv))
 
     def __call__(self, x_q, x_kv=None, causal: bool = False,
                  kv_cache=None, cache_index=None, precomputed_kv=None,
@@ -171,14 +201,19 @@ class MultiHeadAttention:
         else:
             if x_kv is None:
                 x_kv = x_q
-            k = self._split(self.wqkv_k(x_kv))
-            v = self._split(self.wqkv_v(x_kv))
+            k = self._split_kv(self.wqkv_k(x_kv))
+            v = self._split_kv(self.wqkv_v(x_kv))
 
+        g = self.n_heads // self.kv_heads
         if kv_cache is not None:
             # duck-typed paged branch: only a PagedKVCache carries a page
             # table, and testing the attribute keeps models/ free of any
             # serving import on the dense path (no import cycle as both grow)
             if getattr(kv_cache, "page_table", None) is not None:
+                assert g == 1, \
+                    "paged serving with GQA (n_kv_heads < n_heads) is not " \
+                    "wired yet — use the dense int8 cache (already 1/g the " \
+                    "HBM of an MHA cache)"
                 # paged decode (Sq == 1, per-slot positions): append this
                 # step's K/V at each slot's position (page, offset) and
                 # attend over the page table — scalar-prefetch kernel on
@@ -241,7 +276,9 @@ class MultiHeadAttention:
                 prefill0 = \
                     q.shape[1] % self.w_o.mesh.shape[self.w_o.tp_axis] == 0
             if prefill0:
-                out = _dispatch_attention(q, k, v, causal=True, mha=self)
+                out = _dispatch_attention(q, self._repeat_kv(k),
+                                          self._repeat_kv(v), causal=True,
+                                          mha=self)
                 return self.w_o(self._merge(out)), new_cache
             s_max = k_cache.shape[2]
             kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, q.shape[2], s_max), 3)
@@ -250,7 +287,18 @@ class MultiHeadAttention:
                 qi = jax.lax.broadcasted_iota(
                     jnp.int32, (1, 1, q.shape[2], s_max), 2) + idx
                 valid = jnp.logical_and(valid, kj <= qi)
-            fused_ok = (quantized and q.shape[2] == 1
+            if g > 1:
+                # GQA: fold the query-head groups into the row axis —
+                # q [B, Hq, Sq, D] -> [B, Hkv, g*Sq, D] (query heads
+                # i*g..(i+1)*g-1 share KV head i), and tile the validity
+                # mask per group row. Every cached jnp path below then
+                # reads the 1/g-sized cache UNREPLICATED (the whole point:
+                # decode bandwidth and cache HBM shrink by g), with
+                # BIGGER dots per KV head ([g*Sq, S] instead of [Sq, S]).
+                b_, hq_, sq_, d_ = q.shape
+                q = q.reshape(b_, self.kv_heads, g * sq_, d_)
+                valid = jnp.tile(valid, (1, 1, g, 1))
+            fused_ok = (quantized and g == 1 and q.shape[2] == 1
                         and kv_cache.kq.shape[2] >= 128
                         and jax.default_backend() != "cpu")
             if fused_ok and self._tp:
@@ -296,9 +344,12 @@ class MultiHeadAttention:
             else:
                 out = scaled_dot_product_attention(q, k_cache, v_cache,
                                                    mask=valid)
+            if g > 1:
+                out = out.reshape(b_, hq_, sq_, out.shape[-1])
             out = self.w_o(self._merge(out))
             return out, new_cache
 
+        k, v = self._repeat_kv(k), self._repeat_kv(v)
         if mask is not None:
             out = scaled_dot_product_attention(
                 q, k, v, causal=causal, mask=mask[:, None, None, :])

@@ -28,6 +28,9 @@ class GPTConfig:
     vocab_size: int = 32000
     d_model: int = 512
     n_heads: int = 8
+    # n_kv_heads < n_heads = grouped-query attention: the KV cache (and
+    # its decode read bandwidth) shrinks by n_heads/n_kv_heads; 0 = MHA
+    n_kv_heads: int = 0
     d_ff: int = 2048
     n_layers: int = 6
     max_seq_len: int = 1024
@@ -68,7 +71,8 @@ class GPTBlock:
         else:
             ffn = FeedForward.init(k2, cfg.d_model, cfg.d_ff, dtype=d)
         return cls(attn=MultiHeadAttention.init(k1, cfg.d_model, cfg.n_heads,
-                                                dtype=d),
+                                                dtype=d,
+                                                n_kv_heads=cfg.n_kv_heads),
                    ffn=ffn,
                    ln1=LayerNorm.init(cfg.d_model, d),
                    ln2=LayerNorm.init(cfg.d_model, d))
@@ -194,11 +198,12 @@ class GPT:
             # Cost: <=127 junk rows, always masked by per-slot position.
             s = -(-s // 128) * 128
         dh = cfg.d_model // cfg.n_heads
+        hkv = cfg.n_kv_heads or cfg.n_heads   # GQA: 1/g the cache HBM
         if quantized:
             from qgemm_tpu.ops.kv_cache import init_quantized_kv_cache
-            return [init_quantized_kv_cache(batch, cfg.n_heads, s, dh)
+            return [init_quantized_kv_cache(batch, hkv, s, dh)
                     for _ in self.blocks]
-        z = lambda: jnp.zeros((batch, cfg.n_heads, s, dh), cfg.jdtype)
+        z = lambda: jnp.zeros((batch, hkv, s, dh), cfg.jdtype)
         return [(z(), z()) for _ in self.blocks]
 
     def decode_step(self, tok, pos, caches):

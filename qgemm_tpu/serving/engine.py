@@ -277,6 +277,10 @@ class ContinuousBatchingEngine:
                                                        PageAllocator,
                                                        init_paged_cache)
             cfg = model.cfg
+            if getattr(cfg, "n_kv_heads", 0) not in (0, cfg.n_heads):
+                raise ValueError(
+                    "paged serving with GQA is not wired yet — use the "
+                    "dense int8 cache (already 1/g the HBM of MHA)")
             pps = -(-self.max_seq_len // PAGE_SIZE)
             self.max_seq_len = pps * PAGE_SIZE
             npg = n_pages or (1 + max_slots * pps)

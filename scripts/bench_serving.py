@@ -102,6 +102,9 @@ def main():
     ap.add_argument("--d-model", type=int, default=2048)
     ap.add_argument("--d-ff", type=int, default=8192)
     ap.add_argument("--heads", type=int, default=16)
+    ap.add_argument("--kv-heads", type=int, default=0,
+                    help="GQA: KV heads < query heads (0 = MHA); divides "
+                         "cache HBM and decode read traffic by the group")
     ap.add_argument("--vocab", type=int, default=50272)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--prompt-len", type=int, default=32)
@@ -131,7 +134,8 @@ def main():
     from qgemm_tpu.models.gpt import GPT, GPTConfig
 
     cfg = GPTConfig(vocab_size=args.vocab, d_model=args.d_model,
-                    n_heads=args.heads, d_ff=args.d_ff, n_layers=args.layers,
+                    n_heads=args.heads, n_kv_heads=args.kv_heads,
+                    d_ff=args.d_ff, n_layers=args.layers,
                     max_seq_len=args.prompt_len + args.n_hi + 8,
                     dtype="bfloat16")
     if args.int8_only:
