@@ -287,23 +287,33 @@ class MultiHeadAttention:
                 qi = jax.lax.broadcasted_iota(
                     jnp.int32, (1, 1, q.shape[2], s_max), 2) + idx
                 valid = jnp.logical_and(valid, kj <= qi)
-            if g > 1:
-                # GQA: fold the query-head groups into the row axis —
-                # q [B, Hq, Sq, D] -> [B, Hkv, g*Sq, D] (query heads
-                # i*g..(i+1)*g-1 share KV head i), and tile the validity
-                # mask per group row. Every cached jnp path below then
-                # reads the 1/g-sized cache UNREPLICATED (the whole point:
-                # decode bandwidth and cache HBM shrink by g), with
+            fused_ok = (quantized and q.shape[2] == 1
+                        and kv_cache.kq.shape[2] >= 128
+                        and jax.default_backend() != "cpu"
+                        # GQA decodes through the grouped jnp fold below:
+                        # measured FASTER than the kernel's grouped variant
+                        # on v5e (3,334 vs 3,170 tok/s at 24L/1152-ctx,
+                        # B8 g4 — XLA fuses the int8 reads into [g, S]
+                        # dots here; the kernel path still supports
+                        # groups for direct callers)
+                        and g == 1)
+            if fused_ok and self._tp:
+                # head-sharded shard_map body needs both head counts
+                # divisible by the axis
+                p_ = self.w_o.mesh.shape[self.w_o.tp_axis]
+                fused_ok = (q.shape[1] % p_ == 0
+                            and self.kv_heads % p_ == 0)
+            if not fused_ok and g > 1:
+                # GQA jnp fallback: fold the query-head groups into the
+                # row axis — q [B, Hq, Sq, D] -> [B, Hkv, g*Sq, D] (query
+                # heads i*g..(i+1)*g-1 share KV head i), and tile the
+                # validity mask per group row. Every cached jnp path below
+                # then reads the 1/g-sized cache UNREPLICATED (the whole
+                # point: decode bandwidth and cache HBM shrink by g), with
                 # BIGGER dots per KV head ([g*Sq, S] instead of [Sq, S]).
                 b_, hq_, sq_, d_ = q.shape
                 q = q.reshape(b_, self.kv_heads, g * sq_, d_)
                 valid = jnp.tile(valid, (1, 1, g, 1))
-            fused_ok = (quantized and g == 1 and q.shape[2] == 1
-                        and kv_cache.kq.shape[2] >= 128
-                        and jax.default_backend() != "cpu")
-            if fused_ok and self._tp:
-                # head-sharded shard_map body needs H divisible by the axis
-                fused_ok = q.shape[1] % self.w_o.mesh.shape[self.w_o.tp_axis] == 0
             if fused_ok:
                 # decode step over the int8 cache: the fused Pallas kernel
                 # reads the cache as int8 at the HBM bound and wins at EVERY
@@ -344,7 +354,7 @@ class MultiHeadAttention:
             else:
                 out = scaled_dot_product_attention(q, k_cache, v_cache,
                                                    mask=valid)
-            if g > 1:
+            if g > 1 and not fused_ok:  # unfold the grouped jnp result
                 out = out.reshape(b_, hq_, sq_, out.shape[-1])
             out = self.w_o(self._merge(out))
             return out, new_cache

@@ -103,6 +103,23 @@ def main():
         assert err < 6e-3, f"decode B={b}: {err}"
     results["decode_parity"] = "ok"
 
+    # 4b. GQA decode: Hq = g*Hkv query heads over an Hkv-head cache
+    bq_, hkv_, g_, sq_, dq_ = 3, 2, 4, 640, 128
+    qg = jax.random.normal(jax.random.PRNGKey(5), (bq_, hkv_ * g_, 1, dq_))
+    kqg, kcg = quantize_kv(jax.random.normal(jax.random.PRNGKey(6),
+                                             (bq_, hkv_, sq_, dq_)))
+    vqg, vcg = quantize_kv(jax.random.normal(jax.random.PRNGKey(7),
+                                             (bq_, hkv_, sq_, dq_)))
+    lg = jnp.asarray([640, 130, 17], jnp.int32)
+    got = decode_attention(qg, kqg, vqg, lg, kc=kcg, vc=vcg)
+    kd = jnp.repeat(kqg.astype(jnp.float32) * kcg / 127.0, g_, axis=1)
+    vd = jnp.repeat(vqg.astype(jnp.float32) * vcg / 127.0, g_, axis=1)
+    maskg = jnp.arange(sq_)[None, None, None, :] < lg[:, None, None, None]
+    refg = scaled_dot_product_attention(qg, kd, vd, mask=maskg)
+    err = float(jnp.max(jnp.abs(got - refg)))
+    assert err < 6e-3, f"GQA decode: {err}"
+    results["gqa_decode_parity"] = "ok"
+
     # 5. paged decode attention (scalar-prefetch kernel) == gather oracle
     from qgemm_tpu.serving.paged_cache import (PAGE_SIZE, PageAllocator,
                                                PagedKVCache, init_paged_cache,

@@ -76,3 +76,32 @@ def test_decode_attention_large_batch_batched_dots():
     mask = jnp.arange(s)[None, None, None, :] < lengths[:, None, None, None]
     ref = scaled_dot_product_attention(q, kd, vd, mask=mask)
     assert float(jnp.max(jnp.abs(out - ref))) < 6e-3
+
+
+def test_decode_attention_gqa_groups():
+    """q with Hq = g*Hkv heads against an Hkv-head cache (kernel in
+    interpret mode) == per-group reference."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from qgemm_tpu.models.attention import scaled_dot_product_attention
+    from qgemm_tpu.ops.kv_cache import quantize_kv
+    from qgemm_tpu.ops.pallas.decode_attention import decode_attention
+
+    rng = np.random.default_rng(17)
+    b, hkv, g, s, d = 3, 2, 4, 256, 64
+    q = jnp.asarray(rng.normal(size=(b, hkv * g, 1, d)), jnp.float32)
+    kf = jnp.asarray(rng.normal(size=(b, hkv, s, d)), jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(b, hkv, s, d)), jnp.float32)
+    kq, kc = quantize_kv(kf)
+    vq, vc = quantize_kv(vf)
+    lengths = jnp.asarray([100, 256, 17], jnp.int32)
+
+    got = decode_attention(q, kq, vq, lengths, kc=kc, vc=vc)
+    kd = kq.astype(jnp.float32) * kc / 127.0
+    vd = vq.astype(jnp.float32) * vc / 127.0
+    mask = jnp.arange(s)[None, None, None, :] < lengths[:, None, None, None]
+    ref = scaled_dot_product_attention(
+        q, jnp.repeat(kd, g, axis=1), jnp.repeat(vd, g, axis=1), mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=6e-3, atol=6e-3)
