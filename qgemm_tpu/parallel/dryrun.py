@@ -101,6 +101,37 @@ def run_dryrun(n_devices: int) -> None:
     fin = eng.run_to_completion()
     assert len(fin) == 2 and all(len(r.generated) == 3 for r in fin)
 
+    # --- W4A8 tensor parallelism (r3) --------------------------------------
+    from qgemm_tpu.ops.quantize import (quantize_weights_int4,
+                                        quantized_matmul_prequant_w4)
+    from qgemm_tpu.parallel.tp_ops import (tp_w4a8_matmul_column,
+                                           tp_w4a8_matmul_row)
+    k4 = 128 * model_par                 # groups divide the model axis
+    x4 = jax.random.normal(k1, (8, k4), jnp.float32)
+    w4 = jax.random.normal(k2, (k4, 16 * model_par), jnp.float32)
+    wq4 = quantize_weights_int4(w4)
+    ref4 = quantized_matmul_prequant_w4(x4, wq4)
+    c4 = tp_w4a8_matmul_column(x4, wq4.qp, wq4.c, mesh)
+    assert bool(jnp.allclose(c4, ref4, rtol=1e-4, atol=1e-4)), \
+        "w4a8 column-TP != single-chip"
+    r4 = tp_w4a8_matmul_row(x4, wq4.qp, wq4.c, mesh)
+    assert bool(jnp.all(jnp.isfinite(r4))), "non-finite w4a8 row-TP"
+
+    # --- GQA (n_kv_heads < n_heads) sharded generate (r3) ------------------
+    gqa_cfg = _GPTConfig(vocab_size=64, d_model=16 * model_par,
+                         n_heads=2 * model_par, n_kv_heads=model_par,
+                         d_ff=16 * model_par, n_layers=2, max_seq_len=32)
+    gqa = _GPT.init(gqa_cfg, key=jax.random.PRNGKey(11))
+    gqa_toks = jax.jit(lambda m, p: m.generate(
+        p, 2, quantized_cache=True))(gqa, jnp.ones((2, 4), jnp.int32))
+    jax.block_until_ready(gqa_toks)
+
+    # --- speculative decoding loop compiles + runs (r3) --------------------
+    from qgemm_tpu.serving.speculative import speculative_generate
+    spec = speculative_generate(qgpt, qgpt, jnp.ones((1, 3), jnp.int32),
+                                4, gamma=2)     # self-draft: full acceptance
+    assert int(spec.rounds) >= 1 and spec.tokens.shape == (4,)
+
     # --- pipeline parallelism: GPipe fwd + bwd over a `pipe` axis ----------
     from qgemm_tpu.models.gpt import GPT, GPTConfig
     from qgemm_tpu.parallel.pipeline import pipeline_gpt_forward
