@@ -210,10 +210,8 @@ class MultiHeadAttention:
             # table, and testing the attribute keeps models/ free of any
             # serving import on the dense path (no import cycle as both grow)
             if getattr(kv_cache, "page_table", None) is not None:
-                assert g == 1, \
-                    "paged serving with GQA (n_kv_heads < n_heads) is not " \
-                    "wired yet — use the dense int8 cache (already 1/g the " \
-                    "HBM of an MHA cache)"
+                assert g == 1 or not self._tp, \
+                    "paged GQA under tensor parallelism is not wired yet"
                 # paged decode (Sq == 1, per-slot positions): append this
                 # step's K/V at each slot's position (page, offset) and
                 # attend over the page table — scalar-prefetch kernel on
@@ -416,8 +414,10 @@ def _tp_dense_decode(mha, q, cache, lengths):
 def _paged_attend(q, cache, lengths):
     """Paged decode dispatch: ragged flat-grid kernel when the cache
     carries step tables (serving.paged_cache.build_step_tables — one grid
-    step per allocated page), rectangular (B x pages_per_slot) kernel
-    otherwise, jnp gather oracle on CPU."""
+    step per allocated page; handles GQA query groups), rectangular
+    (B x pages_per_slot) kernel otherwise (MHA only — the engine always
+    supplies step tables, so the GQA-without-tables case falls back to the
+    gather oracle), jnp gather oracle on CPU."""
     from qgemm_tpu.serving.paged_cache import paged_attention_reference
     if jax.default_backend() == "cpu":
         return paged_attention_reference(q, cache, lengths)
@@ -425,6 +425,8 @@ def _paged_attend(q, cache, lengths):
         paged_decode_attention, paged_decode_attention_ragged)
     if cache.step_slot is not None:
         return paged_decode_attention_ragged(q, cache, lengths)
+    if q.shape[1] != cache.kq.shape[1]:
+        return paged_attention_reference(q, cache, lengths)
     return paged_decode_attention(q, cache, lengths)
 
 

@@ -142,7 +142,7 @@ RAGGED_UNROLL = 2
 
 
 def _ragged_kernel(ss_ref, sp_ref, pt_ref, len_ref, q_ref, *rest, page: int,
-                   scale: float, cd, unroll: int):
+                   scale: float, cd, unroll: int, groups: int = 1):
     """Flat ragged grid: step t processes logical pages
     sp_ref[t] .. sp_ref[t]+unroll-1 of slot ss_ref[t]. Same math as the
     rectangular kernel; the differences are (a) the grid only has steps for
@@ -175,41 +175,48 @@ def _ragged_kernel(ss_ref, sp_ref, pt_ref, len_ref, q_ref, *rest, page: int,
         @pl.when(j * page < length)
         def _block(j=j, kq_ref=kq_ref, kc_ref=kc_ref, vq_ref=vq_ref,
                    vc_ref=vc_ref):
-            h = q_ref.shape[1]
-            # per-head unrolled MXU dots, like the dense decode kernel's
+            hkv = kq_ref.shape[1]
+            # per-KV-head unrolled MXU dots, like the dense decode kernel's
             # per-batch unroll (its r2 A/B: ~10% over one batched
             # dot_general); bounded program size at serving head counts.
-            # (A single bulk astype of the whole page before the head loop
-            # measured ~6% SLOWER — Mosaic schedules the sliced converts
-            # into the dot pipeline better.)
+            # GQA (groups > 1): each KV head's dot takes its group's
+            # ``groups`` query rows at once — same g-row pattern the dense
+            # kernel uses. (A single bulk astype of the whole page before
+            # the head loop measured ~6% SLOWER — Mosaic schedules the
+            # sliced converts into the dot pipeline better.)
             srows = []
-            for hi in range(h):
+            for hi in range(hkv):
                 kb = kq_ref[0, hi].astype(cd)           # [page, D]
-                qh = q_ref[0, hi].astype(cd)            # [1, D]
+                qh = q_ref[0, hi * groups:(hi + 1) * groups, 0].astype(cd)
                 srows.append(jax.lax.dot_general(
                     qh, kb, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32))  # [1, page]
-            s = jnp.concatenate(srows, axis=0) * scale  # [H, page]
-            s = s * (kc_ref[0, :, 0, :] * (1.0 / QRANGE))
+                    preferred_element_type=jnp.float32))  # [G, page]
+            s = jnp.concatenate(srows, axis=0) * scale  # [Hq, page]
+
+            def rep(x):                                 # [Hkv, X] -> [Hq, X]
+                return x if groups == 1 else jnp.repeat(x, groups, axis=0)
+
+            s = s * (rep(kc_ref[0, :, 0, :]) * (1.0 / QRANGE))
 
             pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * page
             valid = pos < length
             s = jnp.where(valid, s, _NEG_INF)
 
-            m_prev = m_scr[:]                           # [H, 1]
+            m_prev = m_scr[:]                           # [Hq, 1]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
             alpha = jnp.exp(m_prev - m_new)
             l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
             m_scr[:] = m_new
 
-            p = p * (vc_ref[0, :, 0, :] * (1.0 / QRANGE))
+            p = p * (rep(vc_ref[0, :, 0, :]) * (1.0 / QRANGE))
             orows = []
-            for hi in range(h):
+            for hi in range(hkv):
                 vb = vq_ref[0, hi].astype(cd)           # [page, D]
                 orows.append(jax.lax.dot_general(
-                    p[hi:hi + 1].astype(cd), vb, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))  # [1, D]
+                    p[hi * groups:(hi + 1) * groups].astype(cd), vb,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))  # [G, D]
             acc_scr[:] = acc_scr[:] * alpha + jnp.concatenate(orows, axis=0)
 
     # write when the slot's LAST resident page is in this step's unrolled
@@ -237,13 +244,15 @@ def paged_decode_attention_ragged(q, cache, lengths):
     ALLOCATIONS change (admission/growth), not per decode step, so jit
     recompiles exactly when the engine already syncs page tables."""
     step_slot, step_page = cache.step_slot, cache.step_page
-    b, h, _, d = q.shape
+    b, hq, _, d = q.shape
+    h = cache.kq.shape[1]                # pool (KV) heads
+    groups = hq // h                     # GQA query groups per KV head
     page = cache.page_size
     scale = 1.0 / (d ** 0.5)
     t_steps = step_slot.shape[0]
     unroll = RAGGED_UNROLL
 
-    q3 = q[:, :, 0].reshape(b, h, 1, d)
+    q3 = q[:, :, 0].reshape(b, hq, 1, d)
 
     def kv_ix(u):
         def ix(z, t, ss, sp, pt, ln):
@@ -269,23 +278,23 @@ def paged_decode_attention_ragged(q, cache, lengths):
         num_scalar_prefetch=4,      # step_slot, step_page, page_table, lengths
         grid=(1, t_steps),
         in_specs=[
-            pl.BlockSpec((1, h, 1, d),
+            pl.BlockSpec((1, hq, 1, d),
                          lambda z, t, ss, sp, pt, ln: (ss[t], 0, 0, 0)),
         ] + kv_specs,
-        out_specs=pl.BlockSpec((1, h, d),
+        out_specs=pl.BlockSpec((1, hq, d),
                                lambda z, t, ss, sp, pt, ln: (ss[t], 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((h, 1), jnp.float32),
-            pltpu.VMEM((h, 1), jnp.float32),
-            pltpu.VMEM((h, d), jnp.float32),
+            pltpu.VMEM((hq, 1), jnp.float32),
+            pltpu.VMEM((hq, 1), jnp.float32),
+            pltpu.VMEM((hq, d), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_ragged_kernel, page=page, scale=scale,
                           cd=jnp.float32 if _interpret() else jnp.bfloat16,
-                          unroll=unroll),
+                          unroll=unroll, groups=groups),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
         compiler_params=_compiler_params(("arbitrary", "arbitrary")),
         interpret=_interpret(),
     )(step_slot.astype(jnp.int32), step_page.astype(jnp.int32),

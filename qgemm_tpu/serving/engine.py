@@ -277,16 +277,14 @@ class ContinuousBatchingEngine:
                                                        PageAllocator,
                                                        init_paged_cache)
             cfg = model.cfg
-            if getattr(cfg, "n_kv_heads", 0) not in (0, cfg.n_heads):
-                raise ValueError(
-                    "paged serving with GQA is not wired yet — use the "
-                    "dense int8 cache (already 1/g the HBM of MHA)")
             pps = -(-self.max_seq_len // PAGE_SIZE)
             self.max_seq_len = pps * PAGE_SIZE
             npg = n_pages or (1 + max_slots * pps)
             dh = cfg.d_model // cfg.n_heads
+            # GQA: pools hold n_kv_heads — 1/g the page bytes of MHA
+            hkv = getattr(cfg, "n_kv_heads", 0) or cfg.n_heads
             self._pt_host = np.zeros((max_slots, pps), np.int32)
-            self.caches = [init_paged_cache(cfg.n_heads, dh, npg,
+            self.caches = [init_paged_cache(hkv, dh, npg,
                                             max_slots, pps)
                            for _ in model.blocks]
             self.alloc = PageAllocator(npg, max_slots, pps)

@@ -263,18 +263,24 @@ def gather_slot_kv(cache: PagedKVCache, max_pages: Optional[int] = None):
 
 def paged_attention_reference(q, cache: PagedKVCache, lengths,
                               max_pages: Optional[int] = None):
-    """Oracle decode attention over the paged cache. q [B, H, 1, D];
-    lengths [B] (#valid positions per slot). Returns [B, H, 1, D]."""
+    """Oracle decode attention over the paged cache. q [B, Hq, 1, D] with
+    Hq a multiple of the pool's head count (GQA: query heads
+    i*g..(i+1)*g-1 share pool head i); lengths [B] (#valid positions per
+    slot). Returns [B, Hq, 1, D]."""
     kq, kc, vq, vc = gather_slot_kv(cache, max_pages)
-    d = q.shape[-1]
+    b, hq, _, d = q.shape
+    hkv = kq.shape[1]
+    g = hq // hkv
     s = kq.shape[2]
     cd = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cd),
+    qg = q[:, :, 0].reshape(b, hkv, g, d)       # group folds into the row axis
+    scores = jnp.einsum("bhgd,bhkd->bhgk", qg.astype(cd),
                         kq.astype(cd)).astype(jnp.float32)
     scores = scores * (kc[..., 0] / (QRANGE * d ** 0.5))[:, :, None, :]
     kj = jnp.arange(s)[None, None, None, :]
     scores = jnp.where(kj < lengths[:, None, None, None], scores, -1e30)
     p = jax.nn.softmax(scores, axis=-1)
     p = p * (vc[..., 0] * (1.0 / QRANGE))[:, :, None, :]
-    return jnp.einsum("bhqk,bhkv->bhqv", p.astype(cd),
-                      vq.astype(cd)).astype(q.dtype)
+    out = jnp.einsum("bhgk,bhkv->bhgv", p.astype(cd),
+                     vq.astype(cd)).astype(q.dtype)
+    return out.reshape(b, hq, d)[:, :, None, :]

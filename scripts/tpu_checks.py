@@ -164,6 +164,15 @@ def main():
     got = paged_decode_attention_ragged(qp_, rcache, jl)
     err = float(jnp.max(jnp.abs(got - ref)))
     assert err < 5e-3, f"ragged paged kernel vs oracle: {err}"
+    # GQA: 3 query groups per pool head through the same kernel (1e-2:
+    # kernel and oracle both run bf16 dots but on different shapes, so the
+    # delta is rounding noise — exact-f32 parity is pinned by the CPU
+    # interpret test in tests/test_gqa.py)
+    qg_ = jnp.asarray(rng.normal(size=(b, h * 3, 1, d)).astype(np.float32))
+    got_g = paged_decode_attention_ragged(qg_, rcache, jl)
+    ref_g = paged_attention_reference(qg_, rcache, jl)
+    err_g = float(jnp.max(jnp.abs(got_g - ref_g)))
+    assert err_g < 1e-2, f"ragged paged GQA vs oracle: {err_g}"
     results["ragged_parity"] = "ok"
 
     # 5d. ring attention executes its flash-composed body on hardware

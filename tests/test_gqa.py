@@ -85,9 +85,68 @@ def test_gqa_engine_serving():
     assert fin[0].generated[:3] == refq[:3].tolist()
 
 
-def test_gqa_paged_rejected_clearly():
-    import pytest
-    from qgemm_tpu.serving.engine import ContinuousBatchingEngine
-    model = GPT.init(CFG, key=jax.random.PRNGKey(5)).quantize()
-    with pytest.raises(ValueError, match="GQA"):
-        ContinuousBatchingEngine(model, paged=True)
+def test_gqa_paged_engine_matches_dense():
+    """Paged GQA serving: pools hold n_kv_heads (1/g the page bytes);
+    transcripts match the dense-cache GQA engine."""
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+    # paged mode needs max_seq_len >= one 128-position page
+    pcfg = GPTConfig(vocab_size=97, d_model=64, n_heads=8, n_kv_heads=2,
+                     d_ff=128, n_layers=2, max_seq_len=128)
+    model = GPT.init(pcfg, key=jax.random.PRNGKey(5)).quantize()
+
+    def run(**kw):
+        eng = ContinuousBatchingEngine(model, max_slots=2, **kw)
+        reqs = [Request(prompt=[2, 3, 4], max_new_tokens=4),
+                Request(prompt=[9, 8], max_new_tokens=4)]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r.generated for r in eng.run_to_completion(max_steps=40)}
+        return [fin[r.id] for r in reqs]
+
+    dense = run(quantized_cache=True)
+    paged = run(paged=True)
+    assert paged[0][:3] == dense[0][:3] and paged[1][:3] == dense[1][:3], \
+        (dense, paged)
+    # pool head count really is n_kv_heads
+    eng = ContinuousBatchingEngine(model, paged=True)
+    assert eng.caches[0].kq.shape[1] == 2
+
+
+def test_gqa_ragged_paged_kernel_matches_reference():
+    """The ragged paged kernel's group support (interpret mode) == the
+    grouped gather oracle."""
+    import numpy as np
+    from dataclasses import replace
+    from qgemm_tpu.ops.pallas.paged_attention import \
+        paged_decode_attention_ragged
+    from qgemm_tpu.serving.paged_cache import (PAGE_SIZE, PageAllocator,
+                                               build_step_tables,
+                                               init_paged_cache,
+                                               paged_attention_reference,
+                                               paged_write_prompt)
+
+    rng = np.random.default_rng(51)
+    b, hkv, g, d, pps = 2, 2, 3, 64, 3
+    cache = init_paged_cache(hkv, d, n_pages=8, batch=b, pages_per_slot=pps)
+    alloc = PageAllocator(8, b, pps)
+    lens = [200, 40]
+    pt = np.zeros((b, pps), np.int32)
+    for slot, ln in enumerate(lens):
+        for j, p in alloc.grow(slot, ln):
+            pt[slot, j] = p
+    cache = replace(cache, page_table=jnp.asarray(pt))
+    for slot, ln in enumerate(lens):
+        bucket = -(-ln // PAGE_SIZE) * PAGE_SIZE
+        kp = jnp.asarray(rng.normal(size=(hkv, bucket, d)), jnp.float32)
+        vp = jnp.asarray(rng.normal(size=(hkv, bucket, d)), jnp.float32)
+        cache = paged_write_prompt(cache, slot, kp, vp)
+    ss, sp = build_step_tables([len(p) for p in alloc.slot_pages], pps,
+                               bucket=8)
+    cache = replace(cache, step_slot=jnp.asarray(ss),
+                    step_page=jnp.asarray(sp))
+    q = jnp.asarray(rng.normal(size=(b, hkv * g, 1, d)), jnp.float32)
+    jl = jnp.asarray(lens, jnp.int32)
+    got = paged_decode_attention_ragged(q, cache, jl)
+    ref = paged_attention_reference(q, cache, jl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
