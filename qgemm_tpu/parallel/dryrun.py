@@ -101,6 +101,18 @@ def run_dryrun(n_devices: int) -> None:
     fin = eng.run_to_completion()
     assert len(fin) == 2 and all(len(r.generated) == 3 for r in fin)
 
+    # --- all-to-all expert parallelism (r3) --------------------------------
+    from qgemm_tpu.models.moe import MoEFeedForward
+    from qgemm_tpu.parallel.expert import ep_moe_forward_a2a, shard_moe
+    ep_mesh = make_mesh((n_devices,), ("expert",))
+    moe = MoEFeedForward.init(jax.random.PRNGKey(13), 16, 32,
+                              n_experts=n_devices, top_k=2,
+                              capacity_factor=8.0)
+    xm = jax.random.normal(jax.random.PRNGKey(14), (8 * n_devices, 16))
+    a2a_out = ep_moe_forward_a2a(xm, shard_moe(moe, ep_mesh), ep_mesh)
+    assert bool(jnp.allclose(a2a_out, moe(xm), rtol=1e-3, atol=1e-3)), \
+        "a2a EP != single-device MoE"
+
     # --- W4A8 tensor parallelism (r3) --------------------------------------
     from qgemm_tpu.ops.quantize import (quantize_weights_int4,
                                         quantized_matmul_prequant_w4)

@@ -191,3 +191,33 @@ def test_load_balancing_loss():
 
     g = jax.grad(lambda w: load_balancing_loss(x, w))(moe.router_w)
     assert jnp.isfinite(g).all() and float(jnp.abs(g).max()) > 0
+
+
+def test_ep_moe_a2a_matches_single_device():
+    """The all-to-all EP formulation == the single-device layer when
+    capacity doesn't bind (generous factor), dense and int8, with tokens
+    sharded over the expert axis."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from qgemm_tpu.models.moe import MoEFeedForward
+    from qgemm_tpu.parallel.expert import ep_moe_forward_a2a, shard_moe
+    from qgemm_tpu.parallel.mesh import make_mesh
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+
+    mesh = make_mesh((8,), ("expert",))
+    moe = MoEFeedForward.init(jax.random.PRNGKey(0), 32, 64, n_experts=8,
+                              top_k=2, capacity_factor=8.0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 32))
+    ref = moe(x)
+    got = ep_moe_forward_a2a(x, shard_moe(moe, mesh), mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    qmoe = moe.quantize()
+    refq = qmoe(x)
+    gotq = ep_moe_forward_a2a(x, shard_moe(qmoe, mesh), mesh)
+    np.testing.assert_allclose(np.asarray(gotq), np.asarray(refq),
+                               rtol=2e-2, atol=2e-2)
