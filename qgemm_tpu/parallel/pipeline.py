@@ -23,7 +23,6 @@ backward for the sharded training step — no hand-written schedule.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -17,7 +17,6 @@ Differentiable end-to-end (all_to_all transposes to all_to_all).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from qgemm_tpu.parallel.tp_ops import shard_map

@@ -8,7 +8,6 @@ rtol = atol = 1e-6). We keep the same elementwise criterion
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 DEFAULT_RTOL = 1e-6
