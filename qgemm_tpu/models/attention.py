@@ -367,13 +367,17 @@ class MultiHeadAttention:
 
 
 def _quantized_cross_attention(q, kq, kc, vq, vc, mask=None):
-    """q [B,H,Sq,D]; kq/vq int8 [B,H,S,D]; kc/vc f32 [B,H,S,1] per-position
-    absmax. Scales are factored OUT of the matmuls (q.(kq*kc) == (q.kq)*kc
-    and p@(vq*vc) == (p*vc)@vq) so the dequantized cache never
-    materializes; dots in bf16 so HBM reads stay int8 (see the int8
-    self-cache path)."""
+    """q [B,Hq,Sq,D]; kq/vq int8 [B,Hkv,S,D] (Hq a multiple of Hkv — GQA
+    query groups fold into the row axis); kc/vc f32 [B,Hkv,S,1]
+    per-position absmax. Scales are factored OUT of the matmuls
+    (q.(kq*kc) == (q.kq)*kc and p@(vq*vc) == (p*vc)@vq) so the dequantized
+    cache never materializes; dots in bf16 so HBM reads stay int8 (see the
+    int8 self-cache path)."""
     from qgemm_tpu.ops.kv_cache import QRANGE
-    d = q.shape[-1]
+    b, hq, sq, d = q.shape
+    hkv = kq.shape[1]
+    if hq != hkv:
+        q = q.reshape(b, hkv, (hq // hkv) * sq, d)
     cd = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
     s = jnp.einsum("...qd,...kd->...qk", q.astype(cd),
                    kq.astype(cd)).astype(jnp.float32)
@@ -382,8 +386,9 @@ def _quantized_cross_attention(q, kq, kc, vq, vc, mask=None):
         s = jnp.where(mask[:, None, None, :], s, -1e30)
     p = softmax(s, axis=-1)
     p = p * (vc[..., 0] * (1.0 / QRANGE))[:, :, None, :]
-    return jnp.einsum("...qk,...kv->...qv", p.astype(cd),
-                      vq.astype(cd)).astype(q.dtype)
+    out = jnp.einsum("...qk,...kv->...qv", p.astype(cd),
+                     vq.astype(cd)).astype(q.dtype)
+    return out.reshape(b, hq, sq, out.shape[-1]) if hq != hkv else out
 
 
 def _tp_dense_decode(mha, q, cache, lengths):

@@ -36,6 +36,9 @@ class TransformerConfig:
     vocab_size: int = 32000
     d_model: int = 512
     n_heads: int = 8
+    # n_kv_heads < n_heads = grouped-query attention for BOTH the decoder
+    # self-attention cache and the cross-attention K/V; 0 = MHA
+    n_kv_heads: int = 0
     d_ff: int = 2048
     n_layers: int = 2
     max_seq_len: int = 512
@@ -104,7 +107,9 @@ class EncoderBlock:
     def init(cls, key, cfg: TransformerConfig) -> "EncoderBlock":
         k1, k2 = jax.random.split(key)
         d = cfg.jdtype
-        return cls(attn=MultiHeadAttention.init(k1, cfg.d_model, cfg.n_heads, dtype=d),
+        return cls(attn=MultiHeadAttention.init(k1, cfg.d_model, cfg.n_heads,
+                                                dtype=d,
+                                                n_kv_heads=cfg.n_kv_heads),
                    ffn=FeedForward.init(k2, cfg.d_model, cfg.d_ff, dtype=d),
                    ln1=LayerNorm.init(cfg.d_model, d),
                    ln2=LayerNorm.init(cfg.d_model, d))
@@ -144,9 +149,11 @@ class DecoderBlock:
     def init(cls, key, cfg: TransformerConfig) -> "DecoderBlock":
         k1, k2, k3 = jax.random.split(key, 3)
         d = cfg.jdtype
+        mha = lambda k: MultiHeadAttention.init(
+            k, cfg.d_model, cfg.n_heads, dtype=d, n_kv_heads=cfg.n_kv_heads)
         return cls(
-            self_attn=MultiHeadAttention.init(k1, cfg.d_model, cfg.n_heads, dtype=d),
-            cross_attn=MultiHeadAttention.init(k2, cfg.d_model, cfg.n_heads, dtype=d),
+            self_attn=mha(k1),
+            cross_attn=mha(k2),
             ffn=FeedForward.init(k3, cfg.d_model, cfg.d_ff, dtype=d),
             ln1=LayerNorm.init(cfg.d_model, d),
             ln2=LayerNorm.init(cfg.d_model, d),
@@ -277,11 +284,12 @@ class Transformer:
         if jax.default_backend() != "cpu":
             s = -(-s // 128) * 128
         dh = cfg.d_model // cfg.n_heads
+        hkv = cfg.n_kv_heads or cfg.n_heads
         if quantized:
             from qgemm_tpu.ops.kv_cache import init_quantized_kv_cache
-            return [init_quantized_kv_cache(batch, cfg.n_heads, s, dh)
+            return [init_quantized_kv_cache(batch, hkv, s, dh)
                     for _ in self.dec_blocks]
-        z = lambda: jnp.zeros((batch, cfg.n_heads, s, dh), cfg.jdtype)
+        z = lambda: jnp.zeros((batch, hkv, s, dh), cfg.jdtype)
         return [(z(), z()) for _ in self.dec_blocks]
 
     def decode_logits(self, tok, pos, enc_kvs, caches, src_mask=None):

@@ -84,21 +84,19 @@ class Seq2SeqEngine:
         self.caches = model.init_cache(max_slots, self.max_dec_len,
                                        quantized=quantized_cache)
         dh = cfg.d_model // cfg.n_heads
+        hkv = getattr(cfg, "n_kv_heads", 0) or cfg.n_heads   # GQA: 1/g
         s_src = self.max_src_len
         if quantized_cache:
             # int8 cross-attention K/V too: the encoder output is static
             # across all of a request's decode steps, so it is quantized
             # once at admission and every step's cross read is int8 —
             # halving the second-largest per-step HBM stream
-            z8 = lambda: jnp.zeros((max_slots, cfg.n_heads, s_src, dh),
-                                   jnp.int8)
-            zc = lambda: jnp.ones((max_slots, cfg.n_heads, s_src, 1),
-                                  jnp.float32)
+            z8 = lambda: jnp.zeros((max_slots, hkv, s_src, dh), jnp.int8)
+            zc = lambda: jnp.ones((max_slots, hkv, s_src, 1), jnp.float32)
             self.enc_kvs = [(z8(), zc(), z8(), zc())
                             for _ in model.dec_blocks]
         else:
-            zkv = lambda: jnp.zeros((max_slots, cfg.n_heads, s_src, dh),
-                                    cfg.jdtype)
+            zkv = lambda: jnp.zeros((max_slots, hkv, s_src, dh), cfg.jdtype)
             self.enc_kvs = [(zkv(), zkv()) for _ in model.dec_blocks]
         self.src_lens = jnp.zeros((max_slots,), jnp.int32)
 

@@ -153,3 +153,22 @@ def test_engine_quantized_enc_kv_transcripts():
 
     f, qz = run(False), run(True)
     assert f[:3] == qz[:3], (f, qz)
+
+
+def test_gqa_seq2seq_engine():
+    """GQA enc-dec: n_kv_heads shrinks both the decoder self-cache and the
+    cross-attention K/V; engine transcripts track generate."""
+    cfg = TransformerConfig(vocab_size=89, d_model=32, n_heads=4,
+                            n_kv_heads=2, d_ff=64, n_layers=2, max_seq_len=64)
+    model = Transformer.init(cfg, key=jax.random.PRNGKey(9))
+    assert model.init_cache(1, 16)[0][0].shape[1] == 2
+    src = [5, 6, 7, 8]
+    ref = np.asarray(model.generate(jnp.asarray([src]), 5))[0]
+    for quantized in (False, True):
+        eng = Seq2SeqEngine(model, max_slots=2, max_new_tokens=16,
+                            quantized_cache=quantized)
+        if quantized:
+            assert eng.enc_kvs[0][0].shape[1] == 2     # int8 kq, Hkv heads
+        eng.submit(Request(prompt=src, max_new_tokens=5))
+        got = eng.run_to_completion(max_steps=40)[0].generated
+        assert got[:3] == ref[:3].tolist(), (quantized, got, ref)
