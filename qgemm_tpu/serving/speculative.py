@@ -43,10 +43,10 @@ class SpecResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("max_new_tokens", "gamma",
-                                             "quantized_cache"))
+                                             "quantized_cache", "eos_token"))
 def speculative_generate(target, draft, prompt, max_new_tokens: int,
-                         gamma: int = 4,
-                         quantized_cache: bool = False) -> SpecResult:
+                         gamma: int = 4, quantized_cache: bool = False,
+                         eos_token=None) -> SpecResult:
     """Greedy speculative decoding, batch 1. prompt [1, S_p] int32.
 
     Produces the target's greedy transcript (acceptance compares the
@@ -73,7 +73,10 @@ def speculative_generate(target, draft, prompt, max_new_tokens: int,
 
     def cond(st):
         buf, count, cur, pos, tc, dc, rounds, acc_total = st
-        return count < max_new_tokens
+        stop = count >= max_new_tokens
+        if eos_token is not None:
+            stop = jnp.logical_or(stop, cur == eos_token)
+        return jnp.logical_not(stop)
 
     def body(st):
         buf, count, cur, pos, tc, dc, rounds, acc_total = st
@@ -103,9 +106,15 @@ def speculative_generate(target, draft, prompt, max_new_tokens: int,
         idx = jnp.arange(gamma + 1)
         cand = jnp.where(idx < n_acc, jnp.concatenate([d, d[-1:]]),
                          g[jnp.minimum(n_acc, gamma)])
-        buf = jax.lax.dynamic_update_slice(buf, cand, (count,))
         produced = n_acc + 1
-        cur_new = cand[n_acc]
+        if eos_token is not None:
+            # truncate the accepted block at the first EOS: cur becomes the
+            # EOS itself, which stops the loop (cond)
+            is_eos = jnp.logical_and(cand == eos_token, idx < produced)
+            produced = jnp.where(jnp.any(is_eos),
+                                 jnp.argmax(is_eos) + 1, produced)
+        buf = jax.lax.dynamic_update_slice(buf, cand, (count,))
+        cur_new = cand[produced - 1]
         return (buf, count + produced, cur_new, pos + produced, tc, dc,
                 rounds + 1, acc_total + n_acc)
 
@@ -113,5 +122,9 @@ def speculative_generate(target, draft, prompt, max_new_tokens: int,
           jnp.int32(0))
     buf, count, cur, pos, tc, dc, rounds, acc_total = \
         jax.lax.while_loop(cond, body, st)
+    if eos_token is not None:
+        # pin everything from the first EOS on (padded-decode contract,
+        # same as Transformer.generate)
+        buf = jnp.where(jnp.arange(buf.shape[0]) < count, buf, eos_token)
     return SpecResult(tokens=buf[:max_new_tokens], rounds=rounds,
                       drafted=(rounds - 1) * gamma, accepted=acc_total)

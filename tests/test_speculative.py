@@ -55,3 +55,21 @@ def test_quantization_self_speculation():
     res = speculative_generate(target, draft, prompt, n, gamma=3)
     assert np.asarray(res.tokens).tolist() == ref.tolist()
     assert 0 <= int(res.accepted) <= int(res.drafted)
+
+
+def test_eos_stops_and_pins():
+    """eos_token: the transcript is truncated at the target's first EOS
+    (even mid-accepted-block) and pinned after it, like generate's
+    padded-decode contract."""
+    m = _model(4)
+    prompt = jnp.asarray([[2, 7, 1]])
+    n = 12
+    ref = np.asarray(m.generate(prompt, n))[0]
+    eos = int(ref[3])                     # force an EOS at position 3
+    res = speculative_generate(m, m, prompt, n, gamma=4, eos_token=eos)
+    toks = np.asarray(res.tokens)
+    # prefix matches the target transcript through the first eos
+    k = list(ref).index(eos)
+    assert toks[:k + 1].tolist() == ref[:k + 1].tolist(), (toks, ref, eos)
+    assert (toks[k:] == eos).all(), toks
+    assert int(res.rounds) <= 3           # stopped early
