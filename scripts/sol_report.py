@@ -68,7 +68,8 @@ the short decode-shaped rows up to ~±25%):
   flash kernel runs 1.046 ms and splash attention 1.026 ms vs 0.186 ms
   here — 5.6x faster than both, so the remaining gap to the analytic
   roofline is the VPU-side online-softmax work every flash formulation
-  pays at d=128.
+  pays at d=128; the lead grows with context (6.5x at S=8k, 56% of
+  roofline; 7.3x at S=16k, 63%) as the VPU share amortizes.
 - **W4A8 decode-shaped row: best measured 44.5 us (99.7% of its HBM
   roofline)**; the short duration makes it the noisiest row through the
   tunnel (typical 45-59 us, 76-100%).
