@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--scheduler", default="auto",
                     choices=["auto", "python", "native"])
     ap.add_argument("--no-quantize", action="store_true")
+    ap.add_argument("--w4", action="store_true",
+                    help="W4A8: int4 group-quantized weights (halves "
+                         "weight HBM over int8)")
+    ap.add_argument("--kv-heads", type=int, default=0,
+                    help="GQA: KV heads < query heads (0 = MHA) — divides "
+                         "KV-cache HBM and decode read traffic")
     ap.add_argument("--paged", action="store_true",
                     help="paged int8 KV cache: HBM scales with committed "
                          "request maxima, not slots x max-seq-len")
@@ -51,12 +57,13 @@ def main():
     args = ap.parse_args()
 
     cfg = GPTConfig(vocab_size=args.vocab, d_model=args.d_model,
-                    n_heads=args.heads, d_ff=4 * args.d_model,
+                    n_heads=args.heads, n_kv_heads=args.kv_heads,
+                    d_ff=4 * args.d_model,
                     n_layers=args.layers, max_seq_len=args.max_seq_len)
     model = GPT.init(cfg, key=jax.random.PRNGKey(args.seed))
     mesh = None
     if not args.no_quantize:
-        model = model.quantize()
+        model = model.quantize(bits=4 if args.w4 else 8)
     if args.tp > 1:
         if args.no_quantize:
             raise SystemExit("--tp drives the int8 shard_map kernels; "

@@ -73,3 +73,15 @@ def test_eos_stops_and_pins():
     assert toks[:k + 1].tolist() == ref[:k + 1].tolist(), (toks, ref, eos)
     assert (toks[k:] == eos).all(), toks
     assert int(res.rounds) <= 3           # stopped early
+
+
+def test_speculative_with_gqa_target():
+    """Speculation composes with GQA (prefill_chunk / decode_step carry
+    the grouped cache paths)."""
+    cfg = GPTConfig(vocab_size=97, d_model=64, n_heads=8, n_kv_heads=2,
+                    d_ff=128, n_layers=2, max_seq_len=128)
+    m = GPT.init(cfg, key=jax.random.PRNGKey(6))
+    prompt = jnp.asarray([[4, 5, 6]])
+    ref = np.asarray(m.generate(prompt, 10))[0]
+    res = speculative_generate(m, m, prompt, 10, gamma=3)
+    assert np.asarray(res.tokens).tolist() == ref.tolist()
