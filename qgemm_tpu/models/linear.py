@@ -57,14 +57,14 @@ class Linear:
         """outlier_threshold > 0 enables LLM.int8() mixed-precision
         decomposition at inference (outlier activation dims in bf16).
         ``bits=4``: W4A8 — int4 group-quantized weights through the fused
-        w4a8 kernel (halves weight HBM again; group-128 scales; not
-        composable with the outlier path — its mixed-precision rows assume
-        the int8 layout)."""
+        w4a8 kernel (halves weight HBM again; group-128 scales). Composes
+        with the outlier path: outlier weight ROWS dequantize on the fly
+        from the packed nibbles (ops/quantize._take_rows_w4)."""
         if bits == 4:
-            assert outlier_threshold == 0.0, \
-                "outlier decomposition requires the int8 weight layout"
             return QuantizedLinear(wq=quantize_weights_int4(self.w), b=self.b,
-                                   out_features=self.w.shape[1])
+                                   out_features=self.w.shape[1],
+                                   outlier_threshold=outlier_threshold,
+                                   outlier_capacity=outlier_capacity)
         return QuantizedLinear(wq=quantize_weights(self.w), b=self.b,
                                out_features=self.w.shape[1],
                                outlier_threshold=outlier_threshold,

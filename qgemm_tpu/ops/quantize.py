@@ -235,20 +235,45 @@ def quantized_matmul_prequant_outlier(x, wq: QuantizedWeight,
 
     mask = jnp.zeros((k,), jnp.bool_).at[top_idx].set(selected)
     x_in = jnp.where(mask, 0.0, x)
-    if matmul_fn is None:
-        out = quantized_matmul_prequant(x_in, wq, backend=backend)
-    else:
+    if matmul_fn is not None:
         out = matmul_fn(x_in, wq)
+    elif isinstance(wq, QuantizedWeight4):
+        out = quantized_matmul_prequant_w4(x_in, wq)
+    else:
+        out = quantized_matmul_prequant(x_in, wq, backend=backend)
 
     x_o = jnp.take(x, top_idx, axis=-1) * selected.astype(x.dtype)
-    w_rows = jnp.take(wq.q, top_idx, axis=0).astype(jnp.float32) \
-        * wq.c * (1.0 / QRANGE)                                   # [cap, n]
+    if isinstance(wq, QuantizedWeight4):
+        w_rows = _take_rows_w4(wq, top_idx)                       # [cap, n]
+    else:
+        w_rows = jnp.take(wq.q, top_idx, axis=0).astype(jnp.float32) \
+            * wq.c * (1.0 / QRANGE)                               # [cap, n]
     od = _outlier_dot_dtype()
     out_fp = jax.lax.dot_general(
         x_o.astype(od), w_rows.astype(od),
         dimension_numbers=(((x_o.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     return out + out_fp
+
+
+def _take_rows_w4(wq4: "QuantizedWeight4", idx):
+    """Dequantize arbitrary K-rows from the packed int4 layout (outlier
+    decomposition over W4A8 weights). Row r lives in group r // GROUP; its
+    packed row is group*64 + r % 64, in the LOW nibble for the group's
+    first 64 rows and the HIGH nibble for the rest (pack_int4 layout).
+    idx [cap] -> f32 [cap, n]."""
+    from qgemm_tpu.ops.pallas.w4a8_matmul import GROUP, W4RANGE
+    half = GROUP // 2
+    g = idx // GROUP
+    r = idx % GROUP
+    is_hi = r >= half
+    prow = g * half + jnp.where(is_hi, r - half, r)
+    packed = jnp.take(wq4.qp, prow, axis=0).astype(jnp.int32)     # [cap, n]
+    lo = (packed << 28) >> 28
+    hi = packed >> 4
+    q = jnp.where(is_hi[:, None], hi, lo).astype(jnp.float32)
+    c = jnp.take(wq4.c, g, axis=0)                                # [cap, n]
+    return q * (c / W4RANGE)
 
 
 def _outlier_dot_dtype():

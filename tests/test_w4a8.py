@@ -93,3 +93,40 @@ def test_linear_bits4_and_gpt_generate():
     eng.submit(Request(prompt=[5, 6], max_new_tokens=4))
     fin = eng.run_to_completion(max_steps=30)
     assert len(fin[0].generated) == 4
+
+
+def test_w4_outlier_decomposition():
+    """W4A8 composes with the LLM.int8() outlier path: outlier weight rows
+    dequantize on the fly from the packed nibbles, recovering the
+    activation-quantization error that outlier dims inflate."""
+    from qgemm_tpu.ops.quantize import (_take_rows_w4,
+                                        quantized_matmul_prequant_outlier)
+
+    k, n = 512, 256
+    w = jnp.asarray(RNG.normal(size=(k, n)).astype(np.float32) / 20)
+    wq4 = quantize_weights_int4(w)
+    # row extraction == dequantized-weight rows, exactly
+    idx = jnp.asarray([0, 63, 64, 127, 128, 300, 511], jnp.int32)
+    rows = _take_rows_w4(wq4, idx)
+    full = dequantize_weights_int4(wq4, k=k)
+    np.testing.assert_allclose(np.asarray(rows),
+                               np.asarray(full[idx]), rtol=0, atol=1e-6)
+
+    # outlier-heavy activations: decomposition beats the plain w4 path
+    x = jnp.asarray(RNG.normal(size=(64, k)).astype(np.float32))
+    dims = RNG.choice(k, 5, replace=False)
+    x = x.at[:, dims].multiply(30.0)
+    ref = x @ full
+    plain = quantized_matmul_prequant_w4(x, wq4)
+    dec = quantized_matmul_prequant_outlier(x, wq4, threshold=6.0,
+                                            capacity=16)
+    e_plain = float(jnp.linalg.norm(plain - ref) / jnp.linalg.norm(ref))
+    e_dec = float(jnp.linalg.norm(dec - ref) / jnp.linalg.norm(ref))
+    assert e_dec < e_plain / 2, (e_plain, e_dec)
+
+    # model-level: quantize(bits=4, outlier_threshold=...) runs
+    from qgemm_tpu.models.linear import Linear
+    lin4o = Linear.init(jax.random.PRNGKey(3), k, n).quantize(
+        bits=4, outlier_threshold=6.0, outlier_capacity=16)
+    y = lin4o(x)
+    assert y.shape == (64, n) and bool(jnp.all(jnp.isfinite(y)))
