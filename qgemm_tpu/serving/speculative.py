@@ -61,6 +61,12 @@ def speculative_generate(target, draft, prompt, max_new_tokens: int,
     b, s_p = prompt.shape
     assert b == 1, "speculative decoding is per-sequence (batch 1)"
     ext = s_p + max_new_tokens + gamma + 2
+    for name, m in (("target", target), ("draft", draft)):
+        limit = getattr(getattr(m, "cfg", None), "max_seq_len", None)
+        assert limit is None or ext <= limit, (
+            f"{name}: prompt + max_new_tokens + gamma + 2 = {ext} exceeds "
+            f"max_seq_len {limit} (the verify chunk may run past the "
+            "position table)")
 
     tc = target.init_cache(1, ext, quantized=quantized_cache)
     dc = draft.init_cache(1, ext, quantized=quantized_cache)
