@@ -69,7 +69,12 @@ class Seq2SeqEngine:
                  max_src_len: Optional[int] = None,
                  max_new_tokens: Optional[int] = None,
                  quantized_cache: bool = False, top_k: int = 0,
-                 seed: int = 0, bos_token: int = 1):
+                 seed: int = 0, bos_token: int = 1, mesh=None):
+        """``mesh``: tensor-parallel serving — pass the mesh the model was
+        sharded over (parallel.sharding.shard_quantized_model on a
+        ``Transformer.with_tp`` model); the decoder self-caches AND the
+        per-slot cross-attention K/V are head-sharded over its ``model``
+        axis to match the column-sharded projections."""
         cfg = model.cfg
         self.model = model
         self.max_slots = max_slots
@@ -98,6 +103,12 @@ class Seq2SeqEngine:
         else:
             zkv = lambda: jnp.zeros((max_slots, hkv, s_src, dh), cfg.jdtype)
             self.enc_kvs = [(zkv(), zkv()) for _ in model.dec_blocks]
+        self.mesh = mesh
+        if mesh is not None:
+            from qgemm_tpu.parallel.sharding import shard_kv_caches
+            self.caches = shard_kv_caches(self.caches, mesh)
+            # enc_kvs leaves are [slots, H, S_src, *] — same head-sharding
+            self.enc_kvs = shard_kv_caches(self.enc_kvs, mesh)
         self.src_lens = jnp.zeros((max_slots,), jnp.int32)
 
         self.positions = jnp.zeros((max_slots,), jnp.int32)

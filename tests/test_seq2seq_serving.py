@@ -172,3 +172,33 @@ def test_gqa_seq2seq_engine():
         eng.submit(Request(prompt=src, max_new_tokens=5))
         got = eng.run_to_completion(max_steps=40)[0].generated
         assert got[:3] == ref[:3].tolist(), (quantized, got, ref)
+
+
+def test_seq2seq_engine_under_mesh_matches_single_device():
+    """TP enc-dec serving: the engine drives a tensor-sharded int8
+    Transformer (shard_map qmm kernels) with single-device transcripts."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from qgemm_tpu.parallel.mesh import make_mesh
+    from qgemm_tpu.parallel.sharding import shard_quantized_model
+
+    cfg = TransformerConfig(vocab_size=89, d_model=32, n_heads=8,
+                            d_ff=64, n_layers=2, max_seq_len=64)
+    qm = Transformer.init(cfg, key=jax.random.PRNGKey(12)).quantize()
+    mesh = make_mesh((2, 4), ("data", "model"))
+    qms = shard_quantized_model(qm, mesh)
+
+    def transcripts(model, **kw):
+        eng = Seq2SeqEngine(model, max_slots=2, max_new_tokens=16, **kw)
+        for src in ([3, 4, 5], [6, 7, 8, 9]):
+            eng.submit(Request(prompt=src, max_new_tokens=5))
+        return [tuple(r.generated)
+                for r in sorted(eng.run_to_completion(max_steps=40),
+                                key=lambda r: r.id)]
+
+    ref = transcripts(qm)
+    out = transcripts(qms, mesh=mesh)
+    assert ref == out
+    outq = transcripts(qms, mesh=mesh, quantized_cache=True)
+    assert len(outq) == 2 and all(len(t) == 5 for t in outq)
