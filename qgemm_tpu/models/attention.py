@@ -210,8 +210,11 @@ class MultiHeadAttention:
             # table, and testing the attribute keeps models/ free of any
             # serving import on the dense path (no import cycle as both grow)
             if getattr(kv_cache, "page_table", None) is not None:
-                assert g == 1 or not self._tp, \
-                    "paged GQA under tensor parallelism is not wired yet"
+                if self._tp and g > 1:
+                    p_ = self.w_o.mesh.shape[self.w_o.tp_axis]
+                    assert self.kv_heads % p_ == 0 and q.shape[1] % p_ == 0, \
+                        "paged GQA TP needs both head counts divisible by " \
+                        "the model axis"
                 # paged decode (Sq == 1, per-slot positions): append this
                 # step's K/V at each slot's position (page, offset) and
                 # attend over the page table — scalar-prefetch kernel on

@@ -150,3 +150,33 @@ def test_gqa_ragged_paged_kernel_matches_reference():
     ref = paged_attention_reference(q, cache, jl)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_gqa_paged_tp_engine():
+    """The last composition: paged + GQA + tensor parallelism — pools
+    head-sharded on n_kv_heads, q on n_heads, ragged kernel (oracle on
+    CPU) inside shard_map; transcripts match the unsharded paged engine."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from qgemm_tpu.parallel.mesh import make_mesh
+    from qgemm_tpu.parallel.sharding import shard_quantized_model
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+
+    pcfg = GPTConfig(vocab_size=97, d_model=64, n_heads=8, n_kv_heads=2,
+                     d_ff=128, n_layers=2, max_seq_len=128)
+    qm = GPT.init(pcfg, key=jax.random.PRNGKey(6)).quantize()
+    mesh = make_mesh((1, 2), ("data", "model"))   # 2-way: Hkv=2 divides
+    qms = shard_quantized_model(qm, mesh)
+
+    def transcripts(model, **kw):
+        eng = ContinuousBatchingEngine(model, max_slots=2, paged=True, **kw)
+        for p in ([2, 3, 4], [9, 8]):
+            eng.submit(Request(prompt=p, max_new_tokens=4))
+        return [tuple(r.generated)
+                for r in sorted(eng.run_to_completion(max_steps=40),
+                                key=lambda r: r.id)]
+
+    ref = transcripts(qm)
+    out = transcripts(qms, mesh=mesh)
+    assert ref == out, (ref, out)
