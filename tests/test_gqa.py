@@ -180,3 +180,19 @@ def test_gqa_paged_tp_engine():
     ref = transcripts(qm)
     out = transcripts(qms, mesh=mesh)
     assert ref == out, (ref, out)
+
+
+def test_gqa_chunked_prefill():
+    """Chunked admission works for GQA models (prefill_chunk carries the
+    grouped cached path)."""
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+    model = GPT.init(CFG, key=jax.random.PRNGKey(7)).quantize()
+    long_prompt = list(range(1, 40))
+    ref_eng = ContinuousBatchingEngine(model, max_slots=1)
+    ref_eng.submit(Request(prompt=long_prompt, max_new_tokens=4))
+    ref = ref_eng.run_to_completion(max_steps=30)[0].generated
+
+    eng = ContinuousBatchingEngine(model, max_slots=1, chunked_prefill=16)
+    eng.submit(Request(prompt=long_prompt, max_new_tokens=4))
+    got = eng.run_to_completion(max_steps=30)[0].generated
+    assert got == ref, (got, ref)
