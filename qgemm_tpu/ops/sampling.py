@@ -59,3 +59,12 @@ def sample_logits(logits, key, temperature=1.0, top_k=0, top_p=1.0):
     sampled = jnp.take_along_axis(
         sort_idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
     return jnp.where(temp <= 1e-6, greedy_tok, sampled)
+
+
+def token_logprob(logits, tokens):
+    """Natural-log probability of each chosen token under the UNMODIFIED
+    softmax distribution (pre-temperature/filtering — the standard serving
+    logprob). logits [B, V], tokens [B] -> [B] f32."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(lp, tokens[:, None].astype(jnp.int32),
+                               axis=1)[:, 0]

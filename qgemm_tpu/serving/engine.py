@@ -46,8 +46,13 @@ class Request:
     temperature: float = 0.0
     top_p: float = 1.0
     top_k: Optional[int] = None
+    # logprobs=True: token_logprobs collects ln p(token) of every generated
+    # token under the raw softmax (pre-temperature/filtering — the standard
+    # serving logprob), aligned with ``generated``
+    logprobs: bool = False
     id: int = field(default_factory=itertools.count().__next__)
     generated: List[int] = field(default_factory=list)
+    token_logprobs: List[float] = field(default_factory=list)
     done: bool = False
     cancelled: bool = False
     error: Optional[str] = None
@@ -320,6 +325,7 @@ class ContinuousBatchingEngine:
                                       static_argnames=("plen",))
         self.chunked_prefill = chunked_prefill
         self._admit_times: List[float] = []
+        self._lp_slots: Dict[int, Request] = {}
         if chunked_prefill:
             assert not paged, "chunked_prefill is for the dense-cache mode"
             self._slice_slot = jax.jit(_slice_slot)
@@ -331,18 +337,21 @@ class ContinuousBatchingEngine:
                     tok, off, sliced), donate_argnums=(3,))
             self._scatter_slot = jax.jit(_scatter_slot)
             from qgemm_tpu.ops.sampling import sample_logits as _sl
-            self._sample_at = jax.jit(
-                lambda logits, idx, key, t, p, k: _sl(
-                    jnp.take(logits[0], idx, axis=0)[None], key,
-                    temperature=t, top_k=k, top_p=p)[0])
+            from qgemm_tpu.ops.sampling import token_logprob as _tlp
+
+            def _sample_at_impl(logits, idx, key, t, p, k):
+                last = jnp.take(logits[0], idx, axis=0)[None]
+                tok = _sl(last, key, temperature=t, top_k=k, top_p=p)
+                return tok[0], _tlp(last, tok)[0]
+            self._sample_at = jax.jit(_sample_at_impl)
 
     # ------------------------------------------------------------- jit fns
     def _decode_impl(self, model, tok, pos, caches, key, temps, topps, topks):
-        from qgemm_tpu.ops.sampling import sample_logits
+        from qgemm_tpu.ops.sampling import sample_logits, token_logprob
         logits, caches = model.decode_step(tok, pos, caches)
         nxt = sample_logits(logits, key, temperature=temps,
                             top_k=topks, top_p=topps)
-        return nxt, caches
+        return nxt, token_logprob(logits, nxt), caches
 
     def _prefill_impl(self, model, prompt, plen_true, caches, slot,
                       key, temp, topp, topk, plen):
@@ -370,11 +379,12 @@ class ContinuousBatchingEngine:
 
         new_caches = [jax.tree.map(scatter, c, t)
                       for c, t in zip(caches, tmp_caches)]
-        from qgemm_tpu.ops.sampling import sample_logits
+        from qgemm_tpu.ops.sampling import sample_logits, token_logprob
         last_logits = jnp.take(logits[0], plen_true - 1, axis=0)
         first_tok = sample_logits(last_logits[None], key, temperature=temp,
                                   top_k=topk, top_p=topp)[0]
-        return first_tok, new_caches
+        first_lp = token_logprob(last_logits[None], first_tok[None])[0]
+        return first_tok, first_lp, new_caches
 
     def _prefill_paged_impl(self, model, prompt, plen_true, caches, slot,
                             key, temp, topp, topk, plen):
@@ -388,11 +398,12 @@ class ContinuousBatchingEngine:
         logits, tmp = model.prefill(prompt, tmp)
         new_caches = [paged_write_prompt(pc, slot, t[0][0], t[1][0])
                       for pc, t in zip(caches, tmp)]
-        from qgemm_tpu.ops.sampling import sample_logits
+        from qgemm_tpu.ops.sampling import sample_logits, token_logprob
         last_logits = jnp.take(logits[0], plen_true - 1, axis=0)
         first_tok = sample_logits(last_logits[None], key, temperature=temp,
                                   top_k=topk, top_p=topp)[0]
-        return first_tok, new_caches
+        first_lp = token_logprob(last_logits[None], first_tok[None])[0]
+        return first_tok, first_lp, new_caches
 
     # ------------------------------------------------------- paged plumbing
     def _sync_page_tables(self):
@@ -494,12 +505,12 @@ class ContinuousBatchingEngine:
                 self._key, sub = jax.random.split(self._key)
                 if (self.chunked_prefill and not self.paged
                         and plen > self.chunked_prefill):
-                    first_tok, self.caches = self._admit_chunked(
+                    first_tok, first_lp, self.caches = self._admit_chunked(
                         req, slot, plen, sub, eff_topk)
                 else:
                     prefill_fn = (self._prefill_paged if self.paged
                                   else self._prefill)
-                    first_tok, self.caches = prefill_fn(
+                    first_tok, first_lp, self.caches = prefill_fn(
                         self.model, prompt, jnp.int32(plen), self.caches,
                         jnp.int32(slot), sub, jnp.float32(req.temperature),
                         jnp.float32(req.top_p), jnp.int32(eff_topk),
@@ -524,6 +535,9 @@ class ContinuousBatchingEngine:
             self.topps = self.topps.at[slot].set(req.top_p)
             self.topks = self.topks.at[slot].set(eff_topk)
             self.tokens_generated += 1
+            if req.logprobs:
+                req.token_logprobs.append(float(first_lp))
+                self._lp_slots[slot] = req
             self.book.admitted(slot, int(first_tok))
             self._admit_times.append(_time.perf_counter() - t_adm)
 
@@ -558,10 +572,10 @@ class ContinuousBatchingEngine:
                 self.model, tok, jnp.int32(c * chunk), sliced)
         new_caches = self._scatter_slot(self.caches, sliced, jnp.int32(slot))
         idx = (plen - 1) - (n_chunks - 1) * chunk
-        first_tok = self._sample_at(
+        first_tok, first_lp = self._sample_at(
             logits, jnp.int32(idx), key, jnp.float32(req.temperature),
             jnp.float32(req.top_p), jnp.int32(eff_topk))
-        return first_tok, new_caches
+        return first_tok, first_lp, new_caches
 
     def cancel(self, req_id: int) -> bool:
         """Cancel a request by id: a waiting request is dropped; an active
@@ -577,6 +591,7 @@ class ContinuousBatchingEngine:
             req.cancelled = True
             self.finished.append(req)
         else:
+            self._lp_slots.pop(info, None)
             if self.paged:
                 self._release_slot_pages(info)
             for r in self.book.drain_finished():
@@ -633,10 +648,10 @@ class ContinuousBatchingEngine:
                 self._sync_page_tables()
         self._key, sub = jax.random.split(self._key)
         try:
-            nxt, self.caches = self._decode(self.model, self.cur_tokens,
-                                            self.positions, self.caches,
-                                            sub, self.temps, self.topps,
-                                            self.topks)
+            nxt, lps, self.caches = self._decode(self.model, self.cur_tokens,
+                                                 self.positions, self.caches,
+                                                 sub, self.temps, self.topps,
+                                                 self.topks)
         except Exception as e:  # noqa: BLE001 — the caches were DONATED into
             # the step, so after a fault (transient backend error, OOM) they
             # may point at deleted buffers: request-level isolation is
@@ -647,11 +662,17 @@ class ContinuousBatchingEngine:
             return True
         self.positions = self.positions + jnp.asarray(active, jnp.int32)
         self.cur_tokens = nxt[:, None]
+        if self._lp_slots:
+            lps_host = np.asarray(lps)
+            for slot, r in self._lp_slots.items():
+                if active[slot]:
+                    r.token_logprobs.append(float(lps_host[slot]))
         self.book.record_step(np.asarray(nxt))
         self.tokens_generated += int(active.sum())
-        if self.paged:
-            freed = active & ~self.book.active_mask()
-            for slot in np.flatnonzero(freed):
+        freed = active & ~self.book.active_mask()
+        for slot in np.flatnonzero(freed):
+            self._lp_slots.pop(int(slot), None)
+            if self.paged:
                 self._release_slot_pages(int(slot))
         self.finished.extend(self.book.drain_finished())
         return True
@@ -661,6 +682,7 @@ class ContinuousBatchingEngine:
         sequence: mark them all errored, release their slots/pages, and
         re-allocate the caches so the engine keeps serving new requests."""
         msg = f"decode step failed: {type(e).__name__}: {e}"
+        self._lp_slots.clear()
         for slot in np.flatnonzero(self.book.active_mask()):
             self._cancel_slot(int(slot), msg)
         self.finished.extend(self.book.drain_finished())

@@ -285,3 +285,31 @@ def test_chunked_prefill_matches_bucketed():
     assert eng._chunk_fill._cache_size() == 1
     st = eng.stats
     assert st["admissions"] == 3 and st["admit_p95_ms"] > 0
+
+
+def test_engine_logprobs():
+    """Request(logprobs=True): per-token ln p under the raw softmax,
+    aligned with generated; greedy tokens must be the argmax, so each
+    logprob is the max log-softmax entry — cross-checked directly."""
+    model = _model(seed=15)
+    eng = ContinuousBatchingEngine(model, max_slots=2)
+    r_lp = Request(prompt=[4, 5, 6], max_new_tokens=4, logprobs=True)
+    r_plain = Request(prompt=[7, 8], max_new_tokens=4)
+    eng.submit(r_lp)
+    eng.submit(r_plain)
+    fin = {r.id: r for r in eng.run_to_completion(max_steps=30)}
+    got = fin[r_lp.id]
+    assert len(got.token_logprobs) == len(got.generated) == 4
+    assert all(lp <= 0.0 for lp in got.token_logprobs)
+    assert fin[r_plain.id].token_logprobs == []
+
+    # cross-check the first token's logprob against a direct forward
+    logits = model.forward(jnp.asarray([[4, 5, 6]]))[0, -1]
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+    assert abs(float(lp[got.generated[0]]) - got.token_logprobs[0]) < 1e-4
+    # greedy: every logprob is the distribution max
+    toks = [4, 5, 6] + got.generated
+    for i in range(1, 4):
+        lg = model.forward(jnp.asarray([toks[:3 + i]]))[0, -1]
+        lpd = jax.nn.log_softmax(lg.astype(jnp.float32))
+        assert abs(float(lpd.max()) - got.token_logprobs[i]) < 1e-3
