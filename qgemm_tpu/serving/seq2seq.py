@@ -119,6 +119,7 @@ class Seq2SeqEngine:
         self.finished: List[Request] = []
         self.tokens_generated = 0
         self._t_start = None
+        self._lp_slots: Dict[int, Request] = {}
 
         # donate the self caches only (enc_kvs are read-only in decode)
         self._decode = jax.jit(self._decode_impl, donate_argnums=(3,))
@@ -129,11 +130,12 @@ class Seq2SeqEngine:
                      key, temps, topps, topks):
         from qgemm_tpu.ops.sampling import sample_logits
         src_mask = jnp.arange(self.max_src_len)[None, :] < src_lens[:, None]
+        from qgemm_tpu.ops.sampling import token_logprob
         logits, caches = model.decode_logits(tok, pos, enc_kvs, caches,
                                              src_mask=src_mask)
         nxt = sample_logits(logits, key, temperature=temps, top_k=topks,
                             top_p=topps)
-        return nxt, caches
+        return nxt, token_logprob(logits, nxt), caches
 
     def _prefill_impl(self, model, src, src_len_true, caches, enc_kvs,
                       slot, key, temp, topp, topk, plen):
@@ -175,9 +177,11 @@ class Seq2SeqEngine:
 
         new_caches = [jax.tree.map(scatter, c, t)
                       for c, t in zip(caches, tmp)]
+        from qgemm_tpu.ops.sampling import token_logprob
         first_tok = sample_logits(logits, key, temperature=temp,
-                                  top_k=topk, top_p=topp)[0]
-        return first_tok, new_caches, new_enc_kvs
+                                  top_k=topk, top_p=topp)
+        return first_tok[0], token_logprob(logits, first_tok)[0], \
+            new_caches, new_enc_kvs
 
     # ---------------------------------------------------------------- admin
     def submit(self, req: Request):
@@ -201,7 +205,7 @@ class Seq2SeqEngine:
             eff_topk = self.top_k if req.top_k is None else req.top_k
             try:
                 self._key, sub = jax.random.split(self._key)
-                first_tok, self.caches, self.enc_kvs = self._prefill(
+                first_tok, first_lp, self.caches, self.enc_kvs = self._prefill(
                     self.model, src, jnp.int32(plen), self.caches,
                     self.enc_kvs, jnp.int32(slot), sub,
                     jnp.float32(req.temperature), jnp.float32(req.top_p),
@@ -222,6 +226,9 @@ class Seq2SeqEngine:
             self.topps = self.topps.at[slot].set(req.top_p)
             self.topks = self.topks.at[slot].set(eff_topk)
             self.tokens_generated += 1
+            if req.logprobs:
+                req.token_logprobs.append(float(first_lp))
+                self._lp_slots[slot] = req
             self.book.admitted(slot, int(first_tok))
 
     def cancel(self, req_id: int) -> bool:
@@ -264,14 +271,21 @@ class Seq2SeqEngine:
         if not active.any():
             return False
         self._key, sub = jax.random.split(self._key)
-        nxt, self.caches = self._decode(self.model, self.cur_tokens,
-                                        self.positions, self.caches,
-                                        self.enc_kvs, self.src_lens, sub,
-                                        self.temps, self.topps, self.topks)
+        nxt, lps, self.caches = self._decode(
+            self.model, self.cur_tokens, self.positions, self.caches,
+            self.enc_kvs, self.src_lens, sub, self.temps, self.topps,
+            self.topks)
         self.positions = self.positions + jnp.asarray(active, jnp.int32)
         self.cur_tokens = nxt[:, None]
+        if self._lp_slots:
+            lps_host = np.asarray(lps)
+            for slot, r in self._lp_slots.items():
+                if active[slot]:
+                    r.token_logprobs.append(float(lps_host[slot]))
         self.book.record_step(np.asarray(nxt))
         self.tokens_generated += int(active.sum())
+        for slot in np.flatnonzero(active & ~self.book.active_mask()):
+            self._lp_slots.pop(int(slot), None)
         self.finished.extend(self.book.drain_finished())
         return True
 

@@ -202,3 +202,13 @@ def test_seq2seq_engine_under_mesh_matches_single_device():
     assert ref == out
     outq = transcripts(qms, mesh=mesh, quantized_cache=True)
     assert len(outq) == 2 and all(len(t) == 5 for t in outq)
+
+
+def test_seq2seq_logprobs():
+    model = _model(seed=10)
+    eng = Seq2SeqEngine(model, max_slots=1, max_new_tokens=16)
+    req = Request(prompt=[3, 4, 5], max_new_tokens=4, logprobs=True)
+    eng.submit(req)
+    fin = eng.run_to_completion(max_steps=30)[0]
+    assert len(fin.token_logprobs) == len(fin.generated) == 4
+    assert all(lp <= 0.0 for lp in fin.token_logprobs)
