@@ -234,7 +234,8 @@ class ContinuousBatchingEngine:
                  scheduler: str = "auto", quantized_cache: bool = False,
                  top_k: int = 0, seed: int = 0, mesh=None,
                  paged: bool = False, n_pages: Optional[int] = None,
-                 chunked_prefill: Optional[int] = None):
+                 chunked_prefill: Optional[int] = None,
+                 prefix_cache: bool = True):
         """``scheduler``: "python", "native" (C++ csrc/scheduler.cpp), or
         "auto" (native when the shared library is built).
         ``quantized_cache``: int8 KV cache (ops/kv_cache.py) — halves the
@@ -252,6 +253,12 @@ class ContinuousBatchingEngine:
         ``n_pages`` sizes the pool (default: full provisioning; pass less
         to oversubscribe — admissions that don't fit wait in the queue
         until finishing requests release pages).
+        ``prefix_cache`` (paged mode): automatic prefix caching — full
+        128-token prompt pages whose token chunks match an earlier
+        request's prefix SHARE physical pages (refcounted; idle published
+        pages stay in an LRU cache until pool pressure evicts them), so
+        repeated system prompts cost no pool pages. Transparent: page
+        content is a pure function of the token chunk and its positions.
         ``chunked_prefill``: chunk size (e.g. 256). Prompts longer than one
         chunk are admitted chunk by chunk through ONE compiled fixed-shape
         program (reused across chunk positions, slots and prompt lengths),
@@ -277,6 +284,7 @@ class ContinuousBatchingEngine:
         self.scheduler = scheduler
 
         self.paged = paged
+        self.prefix_cache = prefix_cache and paged
         if paged:
             from qgemm_tpu.serving.paged_cache import (PAGE_SIZE,
                                                        PageAllocator,
@@ -474,6 +482,18 @@ class ContinuousBatchingEngine:
                 # (requests that finish early on EOS release the tail).
                 worst = min(plen + req.max_new_tokens, self.max_seq_len)
                 need = self.alloc.pages_needed(worst, self._page_size)
+                # prefix cache: hash-chain the FULL prompt pages and PEEK
+                # (no acquisition yet — the checks below may reject or
+                # requeue this admission) for the longest published prefix;
+                # matched pages are shared, shrinking the pool demand
+                ps = self._page_size
+                hashes = []
+                if self.prefix_cache:
+                    h = None
+                    for j in range(plen // ps):
+                        h = hash((h, tuple(req.prompt[j * ps:(j + 1) * ps])))
+                        hashes.append(h)
+                n_match = self.alloc.peek_prefix(hashes)
                 pool_cap = self.caches[0].n_pages - 1     # page 0 reserved
                 if need > min(self.alloc.pages_per_slot, pool_cap):
                     # could NEVER fit (even with the pool empty) — finish
@@ -485,7 +505,7 @@ class ContinuousBatchingEngine:
                     _unadmit()
                     self.finished.append(req)
                     continue
-                if need > self.alloc.n_free:
+                if need - n_match > self.alloc.n_free:
                     # backpressure: not enough free pages NOW — requeue at
                     # the FRONT (FIFO preserved, no starvation) and stop
                     # admitting until finishing requests release pages
@@ -493,7 +513,11 @@ class ContinuousBatchingEngine:
                     req.done = False
                     self.book.submit(req, front=True)
                     return
-                if self._grow_slot(slot, worst):
+                for j in range(n_match):
+                    p = self.alloc.acquire_shared(slot, hashes[j])
+                    self._pt_host[slot, j] = p
+                grew = self._grow_slot(slot, worst)
+                if grew or n_match:
                     self._sync_page_tables()
             import time as _time
             t_adm = _time.perf_counter()
@@ -528,6 +552,11 @@ class ContinuousBatchingEngine:
                         self.finished.append(r)
                 self.finished.append(req)
                 continue
+            if self.paged and self.prefix_cache:
+                # publish this prompt's full pages for future admissions
+                # (no-op for ones that were themselves acquired shared)
+                for j, hh in enumerate(hashes):
+                    self.alloc.publish(slot, j, hh)
             # position = true prompt length (next write goes there)
             self.positions = self.positions.at[slot].set(plen)
             self.cur_tokens = self.cur_tokens.at[slot, 0].set(first_tok)
@@ -624,6 +653,8 @@ class ContinuousBatchingEngine:
             total = self.caches[0].n_pages - 1      # page 0 reserved
             st["pages_in_use"] = total - self.alloc.n_free
             st["pages_total"] = total
+            st["prefix_hits"] = self.alloc.prefix_hits
+            st["prefix_cached_pages"] = len(self.alloc.cached)
         return st
 
     def step(self):
@@ -689,6 +720,8 @@ class ContinuousBatchingEngine:
         if self.paged:
             # per-slot page release above emptied the allocator; rebuild the
             # pool arrays (the old ones were donated into the failed step)
+            # and drop the prefix cache — its content died with them
+            self.alloc.reset_prefix_cache()
             from qgemm_tpu.serving.paged_cache import init_paged_cache
             tmpl = self.caches[0]
             self.caches = [init_paged_cache(

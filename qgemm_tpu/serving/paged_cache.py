@@ -113,21 +113,48 @@ def init_paged_cache(n_heads: int, head_dim: int, n_pages: int,
 
 
 class PageAllocator:
-    """Host-side page freelist (mirrors the scheduler split: device arrays
-    are static, occupancy is host bookkeeping). Page 0 is reserved as the
-    null page so fresh page tables are valid."""
+    """Host-side page freelist + PREFIX CACHE (mirrors the scheduler
+    split: device arrays are static, occupancy is host bookkeeping).
+    Page 0 is reserved as the null page so fresh page tables are valid.
+
+    Prefix caching (vLLM-style, all host-side): a full 128-token prompt
+    page's content is a pure function of its token chunk and positions
+    (K/V at position p depend only on token p — not on the attention
+    context), so identical prompt prefixes across requests can SHARE
+    physical pages. Pages are refcounted; published pages whose refcount
+    drops to zero go to an LRU cache instead of the free list, so a later
+    request with the same prefix (the system-prompt pattern) reuses them
+    with zero new allocation — they are only evicted when the free list
+    runs dry."""
 
     def __init__(self, n_pages: int, batch: int, pages_per_slot: int):
+        from collections import OrderedDict
         self.free: List[int] = list(range(n_pages - 1, 0, -1))  # 0 reserved
         self.slot_pages: List[List[int]] = [[] for _ in range(batch)]
         self.pages_per_slot = pages_per_slot
+        self.refs = {}          # page -> live refcount
+        self.page_hash = {}     # published page -> chain hash
+        self.prefix_map = {}    # chain hash -> page
+        self.cached = OrderedDict()  # refcount-0 published pages (LRU)
+        self.prefix_hits = 0
 
     @property
     def n_free(self) -> int:
-        return len(self.free)
+        """Allocatable pages: the free list plus evictable cached pages."""
+        return len(self.free) + len(self.cached)
 
     def pages_needed(self, n_tokens: int, page_size: int = PAGE_SIZE) -> int:
         return -(-n_tokens // page_size)
+
+    def _take_page(self) -> int:
+        if self.free:
+            return self.free.pop()
+        if self.cached:                     # evict the LRU cached prefix
+            page, _ = self.cached.popitem(last=False)
+            h = self.page_hash.pop(page)
+            del self.prefix_map[h]
+            return page
+        raise RuntimeError("page pool exhausted")
 
     def grow(self, slot: int, n_tokens: int,
              page_size: int = PAGE_SIZE) -> List[tuple]:
@@ -141,15 +168,63 @@ class PageAllocator:
             j = len(self.slot_pages[slot])
             if j >= self.pages_per_slot:
                 raise RuntimeError(f"slot {slot}: page table full ({j})")
-            if not self.free:
-                raise RuntimeError("page pool exhausted")
-            p = self.free.pop()
+            p = self._take_page()
+            self.refs[p] = 1
             self.slot_pages[slot].append(p)
             new.append((j, p))
         return new
 
+    def acquire_shared(self, slot: int, h) -> Optional[int]:
+        """If a page published under chain-hash ``h`` exists, attach it as
+        the slot's next logical page (refcount++; resurrects it from the
+        LRU cache if idle) and return its id; else None."""
+        page = self.prefix_map.get(h)
+        if page is None:
+            return None
+        if page in self.cached:
+            del self.cached[page]
+        self.refs[page] = self.refs.get(page, 0) + 1
+        self.slot_pages[slot].append(page)
+        self.prefix_hits += 1
+        return page
+
+    def peek_prefix(self, hashes) -> int:
+        """Length of the longest CONTIGUOUS published prefix of the hash
+        chain (no acquisition — safe before admission checks)."""
+        n = 0
+        for h in hashes:
+            if h not in self.prefix_map:
+                break
+            n += 1
+        return n
+
+    def reset_prefix_cache(self) -> None:
+        """Drop every published mapping and return idle cached pages to the
+        free list (engine decode-fault recovery: rebuilt pools invalidate
+        all cached content)."""
+        self.free.extend(self.cached.keys())
+        self.cached.clear()
+        self.prefix_map.clear()
+        self.page_hash.clear()
+
+    def publish(self, slot: int, j: int, h) -> None:
+        """Register the slot's logical page ``j`` under chain-hash ``h`` so
+        future admissions can share it. First publisher wins."""
+        page = self.slot_pages[slot][j]
+        if h in self.prefix_map or page in self.page_hash:
+            return
+        self.prefix_map[h] = page
+        self.page_hash[page] = h
+
     def release(self, slot: int) -> None:
-        self.free.extend(reversed(self.slot_pages[slot]))
+        for p in self.slot_pages[slot]:
+            self.refs[p] = self.refs.get(p, 1) - 1
+            if self.refs[p] <= 0:
+                del self.refs[p]
+                if p in self.page_hash:
+                    self.cached[p] = None   # keep for future prefix hits
+                else:
+                    self.free.append(p)
         self.slot_pages[slot] = []
 
 

@@ -300,3 +300,53 @@ def test_build_step_tables():
                                pages_per_step=2)
     assert ss[:4].tolist() == [0, 1, 2, 2]
     assert sp[:4].tolist() == [0, 0, 0, 2]
+
+
+def test_prefix_caching_shares_and_lru_reuses():
+    """Automatic prefix caching: identical full prompt-prefix pages share
+    physical pages across concurrent requests (refcounted), idle published
+    pages survive in the LRU cache for later requests, transcripts are
+    unchanged, and eviction returns pages under pool pressure."""
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+
+    cfg = GPTConfig(vocab_size=97, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=2, max_seq_len=512)
+    model = GPT.init(cfg, key=jax.random.PRNGKey(31)).quantize()
+    system = list(range(1, 1 + 256))           # two full shared pages
+
+    def run(prefix_cache):
+        eng = ContinuousBatchingEngine(model, max_slots=2, paged=True,
+                                       prefix_cache=prefix_cache)
+        reqs = [Request(prompt=system + [60 + i], max_new_tokens=3)
+                for i in range(2)]
+        for r in reqs:
+            eng.submit(r)
+        eng.step()                             # both admitted concurrently
+        tables = np.asarray(eng._pt_host).copy()
+        fin = {r.id: r.generated for r in eng.run_to_completion(max_steps=30)}
+        return eng, tables, [fin[r.id] for r in reqs]
+
+    eng, tables, out = run(True)
+    _, _, ref = run(False)
+    assert out == ref                          # transcripts identical
+    # the two slots' first two logical pages are the SAME physical pages
+    assert tables[0][0] == tables[1][0] and tables[0][1] == tables[1][1]
+    assert eng.alloc.prefix_hits >= 2
+    # both finished -> shared pages idle in the LRU cache, not freed
+    assert len(eng.alloc.cached) == 2
+    st = eng.stats
+    assert st["prefix_cached_pages"] == 2 and st["prefix_hits"] >= 2
+
+    # a LATER request with the same prefix reuses the cached pages
+    eng.submit(Request(prompt=system + [90], max_new_tokens=3))
+    eng.step()
+    assert eng.alloc.prefix_hits >= 4
+    assert len(eng.alloc.cached) == 0          # resurrected from the LRU
+    eng.run_to_completion(max_steps=30)
+
+    # eviction under pressure: filling the pool reclaims cached pages
+    free_before = eng.alloc.n_free             # includes cached
+    while eng.alloc.free or eng.alloc.cached:
+        eng.alloc._take_page()
+    assert not eng.alloc.prefix_map            # evicted pages unpublished
