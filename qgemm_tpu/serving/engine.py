@@ -489,9 +489,12 @@ class ContinuousBatchingEngine:
                 ps = self._page_size
                 hashes = []
                 if self.prefix_cache:
-                    h = None
+                    import hashlib
+                    h = b""
                     for j in range(plen // ps):
-                        h = hash((h, tuple(req.prompt[j * ps:(j + 1) * ps])))
+                        chunk = np.asarray(req.prompt[j * ps:(j + 1) * ps],
+                                           np.int64).tobytes()
+                        h = hashlib.sha1(h + chunk).digest()
                         hashes.append(h)
                 n_match = self.alloc.peek_prefix(hashes)
                 pool_cap = self.caches[0].n_pages - 1     # page 0 reserved
