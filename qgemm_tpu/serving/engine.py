@@ -508,7 +508,11 @@ class ContinuousBatchingEngine:
                     _unadmit()
                     self.finished.append(req)
                     continue
-                if need - n_match > self.alloc.n_free:
+                # matched pages that are idle in the LRU count toward
+                # n_free but will be CONSUMED by acquisition — subtract
+                # them or the grow below could exhaust the pool mid-admit
+                resurrect = self.alloc.peek_prefix_cached(hashes, n_match)
+                if need - n_match > self.alloc.n_free - resurrect:
                     # backpressure: not enough free pages NOW — requeue at
                     # the FRONT (FIFO preserved, no starvation) and stop
                     # admitting until finishing requests release pages
@@ -516,10 +520,19 @@ class ContinuousBatchingEngine:
                     req.done = False
                     self.book.submit(req, front=True)
                     return
-                for j in range(n_match):
-                    p = self.alloc.acquire_shared(slot, hashes[j])
-                    self._pt_host[slot, j] = p
-                grew = self._grow_slot(slot, worst)
+                try:
+                    for j in range(n_match):
+                        p = self.alloc.acquire_shared(slot, hashes[j])
+                        self._pt_host[slot, j] = p
+                    grew = self._grow_slot(slot, worst)
+                except RuntimeError:
+                    # accounting drift must never kill the batch: release
+                    # whatever this admission took and requeue it
+                    self._release_slot_pages(slot)
+                    _unadmit()
+                    req.done = False
+                    self.book.submit(req, front=True)
+                    return
                 if grew or n_match:
                     self._sync_page_tables()
             import time as _time

@@ -198,6 +198,14 @@ class PageAllocator:
             n += 1
         return n
 
+    def peek_prefix_cached(self, hashes, n_match: int) -> int:
+        """How many of the first ``n_match`` matched pages are currently
+        IDLE in the LRU cache. Acquiring those removes them from the
+        allocatable count (``n_free`` includes cached pages), so admission
+        backpressure math must subtract them."""
+        return sum(1 for h in hashes[:n_match]
+                   if self.prefix_map[h] in self.cached)
+
     def reset_prefix_cache(self) -> None:
         """Drop every published mapping and return idle cached pages to the
         free list (engine decode-fault recovery: rebuilt pools invalidate

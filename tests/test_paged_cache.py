@@ -350,3 +350,37 @@ def test_prefix_caching_shares_and_lru_reuses():
     while eng.alloc.free or eng.alloc.cached:
         eng.alloc._take_page()
     assert not eng.alloc.prefix_map            # evicted pages unpublished
+
+
+def test_prefix_cache_backpressure_accounting():
+    """Regression: matched pages idle in the LRU count toward n_free but
+    are consumed by acquisition — the admission check must subtract them
+    or a mid-admit grow can exhaust the pool and crash the step. Setup: a
+    long-runner holds 2 of 4 pages; a finished request left 1 published
+    page cached + 1 free; a same-prefix request needing 3 pages must
+    BACKPRESSURE (not crash), then complete when the long-runner frees."""
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+
+    cfg = GPTConfig(vocab_size=97, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=2, max_seq_len=384)
+    model = GPT.init(cfg, key=jax.random.PRNGKey(33)).quantize()
+    eng = ContinuousBatchingEngine(model, max_slots=2, paged=True, n_pages=5)
+
+    system = list(range(1, 129))               # one full shareable page
+    long_runner = Request(prompt=[90] * 200, max_new_tokens=56)   # 2 pages
+    quick = Request(prompt=system, max_new_tokens=2)              # 2 pages
+    eng.submit(long_runner)
+    eng.submit(quick)
+    for _ in range(4):                          # quick finishes, C runs on
+        eng.step()
+    assert len(eng.alloc.cached) == 1           # published page idling
+
+    same_prefix = Request(prompt=system, max_new_tokens=200)      # 3 pages
+    eng.submit(same_prefix)
+    fin = {r.id: r for r in eng.run_to_completion(max_steps=300)}
+    assert fin[long_runner.id].error is None
+    assert len(fin[long_runner.id].generated) == 56
+    assert fin[same_prefix.id].error is None
+    assert len(fin[same_prefix.id].generated) == 200
+    assert eng.alloc.prefix_hits >= 1           # the prefix was reused
