@@ -271,10 +271,17 @@ class Seq2SeqEngine:
         if not active.any():
             return False
         self._key, sub = jax.random.split(self._key)
-        nxt, lps, self.caches = self._decode(
-            self.model, self.cur_tokens, self.positions, self.caches,
-            self.enc_kvs, self.src_lens, sub, self.temps, self.topps,
-            self.topks)
+        try:
+            nxt, lps, self.caches = self._decode(
+                self.model, self.cur_tokens, self.positions, self.caches,
+                self.enc_kvs, self.src_lens, sub, self.temps, self.topps,
+                self.topks)
+        except Exception as e:  # noqa: BLE001 — caches were DONATED: after
+            # a fault they may point at deleted buffers. Same engine-level
+            # recovery as the GPT engine: fail every in-flight request and
+            # rebuild the cache state so later submissions still serve.
+            self._recover_from_decode_fault(e)
+            return True
         self.positions = self.positions + jnp.asarray(active, jnp.int32)
         self.cur_tokens = nxt[:, None]
         if self._lp_slots:
@@ -288,6 +295,31 @@ class Seq2SeqEngine:
             self._lp_slots.pop(int(slot), None)
         self.finished.extend(self.book.drain_finished())
         return True
+
+    def _recover_from_decode_fault(self, e: Exception):
+        msg = f"decode step failed: {type(e).__name__}: {e}"
+        self._lp_slots.clear()
+        for slot in np.flatnonzero(self.book.active_mask()):
+            req = self.book.slot_req.get(int(slot))
+            if req is not None:
+                req.error = msg
+                self.book.cancel(req.id)
+        self.finished.extend(self.book.drain_finished())
+        self.caches = self.model.init_cache(self.max_slots, self.max_dec_len,
+                                            quantized=self.quantized_cache)
+        # enc_kvs were NOT donated, but rebuild them too: their per-slot
+        # rows belonged to the requests just failed
+        self.enc_kvs = [tuple(jnp.ones_like(a)      # absmax scales -> 1
+                              if a.dtype == jnp.float32 and a.shape[-1] == 1
+                              else jnp.zeros_like(a)
+                              for a in layer) for layer in self.enc_kvs]
+        if self.mesh is not None:
+            from qgemm_tpu.parallel.sharding import shard_kv_caches
+            self.caches = shard_kv_caches(self.caches, self.mesh)
+            self.enc_kvs = shard_kv_caches(self.enc_kvs, self.mesh)
+        self.positions = jnp.zeros((self.max_slots,), jnp.int32)
+        self.cur_tokens = jnp.zeros((self.max_slots, 1), jnp.int32)
+        self.src_lens = jnp.zeros((self.max_slots,), jnp.int32)
 
     def run_to_completion(self, max_steps: int = 100000):
         while ((self.book.num_waiting or self.book.num_active)

@@ -212,3 +212,32 @@ def test_seq2seq_logprobs():
     fin = eng.run_to_completion(max_steps=30)[0]
     assert len(fin.token_logprobs) == len(fin.generated) == 4
     assert all(lp <= 0.0 for lp in fin.token_logprobs)
+
+
+def test_seq2seq_decode_fault_recovery():
+    """Donated-cache decode fault: in-flight requests fail with .error,
+    the engine rebuilds its state and keeps serving (GPT-engine parity)."""
+    model = _model(seed=13)
+    eng = Seq2SeqEngine(model, max_slots=2, max_new_tokens=16,
+                        quantized_cache=True)
+    doomed = Request(prompt=[1, 2, 3], max_new_tokens=8)
+    eng.submit(doomed)
+    real = eng._decode
+    state = {"boom": True}
+
+    def flaky(*args):
+        if state["boom"]:
+            state["boom"] = False
+            for leaf in jax.tree_util.tree_leaves(args[3]):
+                leaf.delete()
+            raise RuntimeError("injected decode fault")
+        return real(*args)
+
+    eng._decode = flaky
+    fin = {r.id: r for r in eng.run_to_completion(max_steps=40)}
+    assert "injected decode fault" in fin[doomed.id].error
+
+    after = Request(prompt=[4, 5], max_new_tokens=4)
+    eng.submit(after)
+    fin = {r.id: r for r in eng.run_to_completion(max_steps=40)}
+    assert len(fin[after.id].generated) == 4 and fin[after.id].error is None
