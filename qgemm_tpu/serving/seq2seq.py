@@ -241,6 +241,7 @@ class Seq2SeqEngine:
             info.cancelled = True
             self.finished.append(info)
         else:
+            self._lp_slots.pop(info, None)   # drop a stale logprobs sub
             for r in self.book.drain_finished():
                 r.done = True
                 if r.id == req_id:
