@@ -221,7 +221,27 @@ class MultiHeadAttention:
                 # TPU, gather oracle on CPU
                 from qgemm_tpu.serving.paged_cache import (
                     paged_attention_reference, paged_write_step)
-                assert q.shape[2] == 1, "paged cache is decode-only"
+                if q.shape[2] > 1:
+                    # PAGED CHUNK PREFILL (the prefix-cache compute-skip
+                    # path): cache_index is the chunk's page-aligned
+                    # position offset; the chunk's K/V are written into the
+                    # slot's pages and its rows attend every cached
+                    # position <= their own (context attention — causal
+                    # across the shared prefix AND within the chunk)
+                    assert q.shape[0] == 1, "paged chunk prefill is per-slot"
+                    assert not self._tp, \
+                        "paged chunk prefill under TP is not wired yet"
+                    from qgemm_tpu.serving.paged_cache import (
+                        paged_context_attention_reference,
+                        paged_write_prompt)
+                    offset = jnp.asarray(cache_index)
+                    first_page = offset // kv_cache.page_size
+                    new_cache = paged_write_prompt(
+                        kv_cache, 0, k[0], v[0], first_page=first_page)
+                    lengths = jnp.reshape(offset + q.shape[2], (1,))
+                    out = paged_context_attention_reference(
+                        q, new_cache, lengths, offset)
+                    return self.w_o(self._merge(out)), new_cache
                 positions = jnp.broadcast_to(
                     jnp.asarray(cache_index).reshape(-1), (q.shape[0],))
                 if self._tp:

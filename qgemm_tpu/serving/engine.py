@@ -331,9 +331,12 @@ class ContinuousBatchingEngine:
         self._prefill = jax.jit(self._prefill_impl, static_argnames=("plen",))
         self._prefill_paged = jax.jit(self._prefill_paged_impl,
                                       static_argnames=("plen",))
+        self._prefill_paged_suffix = jax.jit(
+            self._prefill_paged_suffix_impl, static_argnames=("plen",))
         self.chunked_prefill = chunked_prefill
         self._admit_times: List[float] = []
         self._lp_slots: Dict[int, Request] = {}
+        self.prefill_tokens_skipped = 0
         if chunked_prefill:
             assert not paged, "chunked_prefill is for the dense-cache mode"
             self._slice_slot = jax.jit(_slice_slot)
@@ -408,6 +411,32 @@ class ContinuousBatchingEngine:
                       for pc, t in zip(caches, tmp)]
         from qgemm_tpu.ops.sampling import sample_logits, token_logprob
         last_logits = jnp.take(logits[0], plen_true - 1, axis=0)
+        first_tok = sample_logits(last_logits[None], key, temperature=temp,
+                                  top_k=topk, top_p=topp)[0]
+        first_lp = token_logprob(last_logits[None], first_tok[None])[0]
+        return first_tok, first_lp, new_caches
+
+    def _prefill_paged_suffix_impl(self, model, suffix, last_idx, caches,
+                                   slot, skip_pages, key, temp, topp, topk,
+                                   plen):
+        """Prefix-cache COMPUTE SKIP: the prompt's first ``skip_pages``
+        pages were acquired shared from the prefix cache, so only the
+        (page-aligned, bucket-padded) SUFFIX runs through the model —
+        each layer writes the suffix chunk's K/V into the slot's pages and
+        context-attends the shared prefix pages plus itself (causal). The
+        model never touches the matched prefix: admission compute drops to
+        suffix/prompt of the full prefill."""
+        from dataclasses import replace as _rep
+
+        from qgemm_tpu.ops.sampling import sample_logits, token_logprob
+        views = [_rep(c, page_table=jax.lax.dynamic_slice_in_dim(
+            c.page_table, slot, 1, axis=0), step_slot=None, step_page=None)
+            for c in caches]
+        offset = skip_pages * self._page_size
+        logits, views2 = model.prefill_chunk(suffix, offset, views)
+        new_caches = [_rep(c, kq=v.kq, kc=v.kc, vq=v.vq, vc=v.vc)
+                      for c, v in zip(caches, views2)]
+        last_logits = jnp.take(logits[0], last_idx, axis=0)
         first_tok = sample_logits(last_logits[None], key, temperature=temp,
                                   top_k=topk, top_p=topp)[0]
         first_lp = token_logprob(last_logits[None], first_tok[None])[0]
@@ -535,6 +564,9 @@ class ContinuousBatchingEngine:
                     return
                 if grew or n_match:
                     self._sync_page_tables()
+                # compute skip: always recompute at least the final prompt
+                # token (its logits seed generation)
+                skip_pages = min(n_match, (plen - 1) // ps)
             import time as _time
             t_adm = _time.perf_counter()
             try:
@@ -548,13 +580,30 @@ class ContinuousBatchingEngine:
                     first_tok, first_lp, self.caches = self._admit_chunked(
                         req, slot, plen, sub, eff_topk)
                 else:
-                    prefill_fn = (self._prefill_paged if self.paged
-                                  else self._prefill)
-                    first_tok, first_lp, self.caches = prefill_fn(
-                        self.model, prompt, jnp.int32(plen), self.caches,
-                        jnp.int32(slot), sub, jnp.float32(req.temperature),
-                        jnp.float32(req.top_p), jnp.int32(eff_topk),
-                        plen=bucket)
+                    if self.paged and self.prefix_cache and skip_pages > 0:
+                        suffix_len = plen - skip_pages * ps
+                        sbucket = -(-suffix_len // ps) * ps
+                        suffix = jnp.asarray(np.pad(
+                            np.asarray(req.prompt[skip_pages * ps:],
+                                       np.int32),
+                            (0, sbucket - suffix_len))[None, :])
+                        first_tok, first_lp, self.caches = \
+                            self._prefill_paged_suffix(
+                                self.model, suffix,
+                                jnp.int32(suffix_len - 1), self.caches,
+                                jnp.int32(slot), jnp.int32(skip_pages),
+                                sub, jnp.float32(req.temperature),
+                                jnp.float32(req.top_p), jnp.int32(eff_topk),
+                                plen=sbucket)
+                        self.prefill_tokens_skipped += skip_pages * ps
+                    else:
+                        prefill_fn = (self._prefill_paged if self.paged
+                                      else self._prefill)
+                        first_tok, first_lp, self.caches = prefill_fn(
+                            self.model, prompt, jnp.int32(plen), self.caches,
+                            jnp.int32(slot), sub, jnp.float32(req.temperature),
+                            jnp.float32(req.top_p), jnp.int32(eff_topk),
+                            plen=bucket)
             except Exception as e:  # noqa: BLE001 — per-request isolation:
                 # a failing prefill (bad values, compile error for a new
                 # bucket, transient backend fault) must not kill the batch
@@ -671,6 +720,7 @@ class ContinuousBatchingEngine:
             st["pages_total"] = total
             st["prefix_hits"] = self.alloc.prefix_hits
             st["prefix_cached_pages"] = len(self.alloc.cached)
+            st["prefill_tokens_skipped"] = self.prefill_tokens_skipped
         return st
 
     def step(self):

@@ -266,8 +266,11 @@ def paged_write_step(cache: PagedKVCache, k_new, v_new, positions):
                    vq=scat(cache.vq, vq), vc=scat_scale(cache.vc, vc))
 
 
-def paged_write_prompt(cache: PagedKVCache, slot, k_prompt, v_prompt):
-    """Prefill: write a whole (bucket-padded) prompt's K/V for one slot.
+def paged_write_prompt(cache: PagedKVCache, slot, k_prompt, v_prompt,
+                       first_page: int = 0):
+    """Prefill: write a (bucket-padded) prompt SEGMENT's K/V for one slot,
+    starting at logical page ``first_page`` (0 = whole prompt; >0 = the
+    suffix segment of a prefix-cache-skipped admission).
     k_prompt/v_prompt [H, S_bucket, D] (S_bucket a multiple of page_size).
     The whole bucket is written; rows beyond the true prompt length are
     junk-but-never-read (attention masks strictly by per-slot length)."""
@@ -279,7 +282,7 @@ def paged_write_prompt(cache: PagedKVCache, slot, k_prompt, v_prompt):
 
     def write_page(cache_arrays, j):
         kq_p, kc_p, vq_p, vc_p = cache_arrays
-        phys = cache.page_table[slot, j]
+        phys = cache.page_table[slot, j + first_page]
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, j * ps, ps, axis=1)
         put = lambda pool, val: jax.lax.dynamic_update_slice(
             pool, val[None], (phys, 0, 0, 0))
@@ -342,6 +345,42 @@ def gather_slot_kv(cache: PagedKVCache, max_pages: Optional[int] = None):
 
     return (gather(cache.kq), gather_scale(cache.kc),
             gather(cache.vq), gather_scale(cache.vc))
+
+
+def paged_context_attention_reference(q, cache: PagedKVCache, lengths,
+                                      offset):
+    """Multi-row (chunk/prefill) attention over the paged cache: q
+    [B, Hq, C, D] rows at positions offset..offset+C-1 attend every cached
+    position <= their own (causal across the prefix AND within the chunk —
+    the chunk's K/V must already be written). ``offset`` scalar or [B].
+    The prefix-cache compute-skip path: a suffix chunk attends the SHARED
+    prefix pages without recomputing them. jnp gather oracle (reads the
+    gathered cache; a blocked Pallas context kernel is the next
+    optimization)."""
+    kq, kc, vq, vc = gather_slot_kv(cache)
+    b, hq, c, d = q.shape
+    hkv = kq.shape[1]
+    g = hq // hkv
+    s = kq.shape[2]
+    off = jnp.asarray(offset).reshape(-1)
+    if off.shape[0] == 1:
+        off = jnp.broadcast_to(off, (b,))
+    cd = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    qg = q.reshape(b, hkv, g * c, d)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qg.astype(cd),
+                        kq.astype(cd)).astype(jnp.float32)
+    scores = scores * (kc[..., 0] / (QRANGE * d ** 0.5))[:, :, None, :]
+    kj = jnp.arange(s)[None, None, None, :]
+    row_pos = jnp.tile(jnp.arange(c), g)[None, None, :, None] \
+        + off[:, None, None, None]
+    valid = jnp.logical_and(kj <= row_pos,
+                            kj < lengths[:, None, None, None])
+    scores = jnp.where(valid, scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    p = p * (vc[..., 0] * (1.0 / QRANGE))[:, :, None, :]
+    out = jnp.einsum("bhqk,bhkv->bhqv", p.astype(cd),
+                     vq.astype(cd)).astype(q.dtype)
+    return out.reshape(b, hq, c, out.shape[-1])
 
 
 def paged_attention_reference(q, cache: PagedKVCache, lengths,

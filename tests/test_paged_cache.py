@@ -384,3 +384,34 @@ def test_prefix_cache_backpressure_accounting():
     assert fin[same_prefix.id].error is None
     assert len(fin[same_prefix.id].generated) == 200
     assert eng.alloc.prefix_hits >= 1           # the prefix was reused
+
+
+def test_prefix_cache_compute_skip():
+    """The matched prefix is not just shared storage — the model runs ONLY
+    on the suffix (context attention over the shared pages), and the
+    transcript still matches a no-prefix-cache engine."""
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+
+    cfg = GPTConfig(vocab_size=97, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=2, max_seq_len=512)
+    model = GPT.init(cfg, key=jax.random.PRNGKey(37)).quantize()
+    system = list(range(1, 1 + 256))
+
+    def run(prefix_cache):
+        eng = ContinuousBatchingEngine(model, max_slots=1, paged=True,
+                                       prefix_cache=prefix_cache)
+        outs = []
+        for tail in ([60, 61], [70]):
+            r = Request(prompt=system + tail, max_new_tokens=4)
+            eng.submit(r)
+            eng.run_to_completion(max_steps=30)
+            outs.append(r.generated)
+        return eng, outs
+
+    eng, outs = run(True)
+    _, ref = run(False)
+    assert outs == ref, (outs, ref)
+    # the second admission skipped the 2 shared prompt pages entirely
+    assert eng.stats["prefill_tokens_skipped"] == 256
+    assert eng.alloc.prefix_hits >= 2
