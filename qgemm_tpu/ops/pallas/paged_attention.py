@@ -302,6 +302,215 @@ def paged_decode_attention_ragged(q, cache, lengths):
     return out[:, :, None, :]
 
 
+def _context_kernel(pt_ref, len_ref, off_ref, q_ref, *rest, page: int,
+                    n_steps: int, scale: float, cd, rows_c: int,
+                    rb_size: int, tight: bool, unroll: int):
+    """Grid (B, row_blocks, n_pages): multi-row (chunk) attention over the
+    paged cache with ONLINE softmax carried across pages — the blocked
+    analogue of ``serving.paged_cache.paged_context_attention_reference``.
+    Each step streams one contiguous (all-KV-heads, 128-position) K page +
+    V page and adds a [Hkv, Rb, page] score tile; rows are a tile of the
+    GQA-FOLDED chunk (row r is query head-group r // C at chunk position
+    r % C, C = rows_c), so causal masking compares each KV position
+    against off + r % C. The row-block grid dim caps VMEM at the 128-row
+    budget for arbitrarily long chunks (an untiled 512-row GQA chunk
+    measured a 28.6 MB scoped-vmem OOM), and when a block's rows sit in
+    one GQA group (``tight``: C % Rb == 0) its page sweep STOPS at the
+    block's last causal position — early row blocks skip both the compute
+    and (via index-map clamping) the DMA for later pages. Each grid step
+    processes ``unroll`` consecutive logical pages (one input-spec
+    quartet per page, the ragged decode kernel's pattern): the first cut
+    at one page/step measured ~2.8 us of fixed per-step cost against
+    ~0.7 us of useful work."""
+    kv_refs = rest[:4 * unroll]
+    o_ref, m_scr, l_scr, acc_scr = rest[4 * unroll:]
+    b = pl.program_id(0)
+    rb = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    length = len_ref[b]
+    off = off_ref[b]
+    if tight:       # block's rows span positions [off + rb*Rb % C, bound]
+        bound = off + jax.lax.rem(rb * rb_size, rows_c) + rb_size - 1
+    else:           # block mixes GQA groups: spans all chunk positions
+        bound = off + rows_c - 1
+
+    for u in range(unroll):
+        kq_ref, kc_ref, vq_ref, vc_ref = kv_refs[4 * u:4 * u + 4]
+        j = t * unroll + u
+
+        @pl.when(jnp.logical_and(j * page < length, j * page <= bound))
+        def _block(j=j, kq_ref=kq_ref, kc_ref=kc_ref, vq_ref=vq_ref,
+                   vc_ref=vc_ref):
+            q = q_ref[0].astype(cd)                     # [Hkv, Rb, D]
+            k = kq_ref[0].astype(cd)                    # [Hkv, page, D]
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale
+            s = s * (kc_ref[0, :, 0, :] * (1.0 / QRANGE))[:, None, :]
+
+            # masks are head-independent: build them [Rb, page] and
+            # broadcast (3D [Hkv, Rb, page] iota/compare temps measured a
+            # scoped-vmem OOM at Hkv=16, Rb=256 — masks were most of it)
+            mshape = (s.shape[1], s.shape[2])
+            pos_k = jax.lax.broadcasted_iota(jnp.int32, mshape, 1) \
+                + j * page
+            r = jax.lax.broadcasted_iota(jnp.int32, mshape, 0) \
+                + rb * rb_size
+            pos_q = off + jax.lax.rem(r, rows_c)
+            valid = jnp.logical_and(pos_k <= pos_q, pos_k < length)[None]
+            s = jnp.where(valid, s, _NEG_INF)
+
+            m_prev = m_scr[:]                           # [Hkv, Rb, 1]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+            alpha = jnp.exp(m_prev - m_new)
+            l_scr[:] = l_scr[:] * alpha \
+                + jnp.sum(p, axis=-1, keepdims=True)
+            m_scr[:] = m_new
+
+            p = p * (vc_ref[0, :, 0, :] * (1.0 / QRANGE))[:, None, :]
+            v = vq_ref[0].astype(cd)                    # [Hkv, page, D]
+            acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+                p.astype(cd), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)     # [Hkv, Rb, D]
+
+    @pl.when(t == n_steps - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] /
+                    jnp.maximum(l_scr[:], 1e-30)).astype(o_ref.dtype)
+
+
+_CTX_ROW_BLOCK = 128
+CTX_UNROLL = 2
+
+
+def _ctx_row_block(rows: int) -> int:
+    """Largest divisor of the folded row count <= the 128-row tile (one
+    full MXU of rows; 256-row tiles at Hkv=16 sat at ~18.5 MB scoped vmem
+    — over the 16 MB limit — and 512 untiled hit 28.6 MB)."""
+    if rows <= _CTX_ROW_BLOCK:
+        return rows
+    for cand in range(_CTX_ROW_BLOCK, 0, -1):
+        if rows % cand == 0:
+            return cand
+    return rows
+
+
+def paged_context_vmem_ok(hkv: int, groups: int, c: int, d: int,
+                          page: int) -> bool:
+    """Scoped-VMEM gate for the context kernel AFTER row tiling: the
+    dominant terms are the [Hkv, Rb, page] f32 score tiles (~3 live
+    copies through the masking/softmax pipeline) and the q/acc row
+    blocks. Empirically calibrated: Hkv=16, Rb=256, D=64, page=128
+    compiles (~8.4 MB by this model), Rb=512 does not (28.6 MB actual).
+    The model layer falls back to the gather oracle beyond it."""
+    rb = _ctx_row_block(groups * c)
+    tile_b = 3 * hkv * rb * page * 4
+    row_b = hkv * rb * (2 + 4) * d
+    kv_b = 4 * CTX_UNROLL * hkv * page * (d + 4)
+    return tile_b + row_b + kv_b < 12 * 2 ** 20
+
+
+def paged_context_attention(q, cache, lengths, offset):
+    """Blocked paged context attention: q [B, Hq, C, D] rows at positions
+    offset..offset+C-1 attend every cached position <= their own (the
+    chunk's K/V already written — paged_write_prompt first). Same contract
+    as paged_context_attention_reference, but the pages stream straight
+    from their pool locations via scalar-prefetch index maps (no gathered
+    [B, H, S, D] materialization in HBM) and masking/softmax fuse into the
+    page loop. ``offset`` scalar or [B]. Caller gates on
+    paged_context_vmem_ok.
+
+    MEASURED CROSSOVER (v5e, Hkv=16, D=64, C=256, 18-page table): wins
+    1.27x over the gather oracle when the resident length is short
+    relative to the reserved table width (4/18 pages resident — the
+    oracle gathers and computes over the FULL width, the causal page
+    skip stops this kernel at the bound), loses ~2.5x when most of the
+    width is resident (chunk attention is compute-bound and one big
+    einsum feeds the MXU better than per-page 128-wide score tiles; page
+    unrolling did not close the gap). The model layer therefore defaults
+    to the oracle — see models.attention._paged_context_attend."""
+    b, hq, c, d = q.shape
+    h = cache.kq.shape[1]                # pool (KV) heads
+    groups = hq // h
+    rows = groups * c
+    page = cache.page_size
+    n_pages = cache.page_table.shape[1]
+    scale = 1.0 / (d ** 0.5)
+    rb_size = _ctx_row_block(rows)
+    n_rb = rows // rb_size
+    # tight causal bound needs each row block inside ONE GQA group
+    tight = rb_size <= c and c % rb_size == 0
+    unroll = min(CTX_UNROLL, n_pages)
+    n_steps = -(-n_pages // unroll)
+
+    off = jnp.broadcast_to(jnp.asarray(offset, jnp.int32).reshape(-1), (b,))
+    qf = q.reshape(b, h, rows, d)        # GQA fold: row = gi * C + ci
+
+    def kv_ix(u):
+        def ix(z, rb, t, pt, ln, of):
+            # clamp (a) beyond-length steps and (b) pages past the row
+            # block's causal bound to the last needed page -> consecutive
+            # identical indices, Pallas skips the DMA
+            j = t * unroll + u
+            jr = jnp.minimum(j, jnp.maximum(ln[z] - 1, 0) // page)
+            if tight:
+                bnd = of[z] + jax.lax.rem(rb * rb_size, c) + rb_size - 1
+            else:
+                bnd = of[z] + c - 1
+            jr = jnp.minimum(jr, bnd // page)
+            jr = jnp.minimum(jr, n_pages - 1)
+            return (pt[z, jr], 0, 0, 0)
+        return ix
+
+    kv_specs, kv_args = [], []
+    for u in range(unroll):
+        kv_specs += [
+            pl.BlockSpec((1, h, page, d), kv_ix(u)),
+            pl.BlockSpec((1, h, 1, page), kv_ix(u)),
+            pl.BlockSpec((1, h, page, d), kv_ix(u)),
+            pl.BlockSpec((1, h, 1, page), kv_ix(u)),
+        ]
+        kv_args += [cache.kq, cache.kc, cache.vq, cache.vc]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,          # page_table, lengths, offsets
+        grid=(b, n_rb, n_steps),
+        in_specs=[
+            pl.BlockSpec((1, h, rb_size, d),
+                         lambda z, rb, t, pt, ln, of: (z, 0, rb, 0)),
+        ] + kv_specs,
+        out_specs=pl.BlockSpec((1, h, rb_size, d),
+                               lambda z, rb, t, pt, ln, of: (z, 0, rb, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((h, rb_size, 1), jnp.float32),
+            pltpu.VMEM((h, rb_size, 1), jnp.float32),
+            pltpu.VMEM((h, rb_size, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_context_kernel, page=page, n_steps=n_steps,
+                          scale=scale,
+                          cd=jnp.float32 if _interpret() else jnp.bfloat16,
+                          rows_c=c, rb_size=rb_size, tight=tight,
+                          unroll=unroll),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, rows, d), q.dtype),
+        compiler_params=_compiler_params(
+            ("parallel", "arbitrary", "arbitrary")),
+        interpret=_interpret(),
+    )(cache.page_table, lengths.astype(jnp.int32), off, qf, *kv_args)
+    return out.reshape(b, hq, c, d)
+
+
 def _compiler_params(dimension_semantics):
     try:
         return pltpu.CompilerParams(dimension_semantics=dimension_semantics)

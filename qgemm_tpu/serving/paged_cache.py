@@ -354,9 +354,10 @@ def paged_context_attention_reference(q, cache: PagedKVCache, lengths,
     position <= their own (causal across the prefix AND within the chunk —
     the chunk's K/V must already be written). ``offset`` scalar or [B].
     The prefix-cache compute-skip path: a suffix chunk attends the SHARED
-    prefix pages without recomputing them. jnp gather oracle (reads the
-    gathered cache; a blocked Pallas context kernel is the next
-    optimization)."""
+    prefix pages without recomputing them. jnp gather oracle — the
+    CPU/test reference for ops.pallas.paged_attention.
+    paged_context_attention (the blocked kernel the model layer uses on
+    TPU) and the fallback for chunks beyond its VMEM gate."""
     kq, kc, vq, vc = gather_slot_kv(cache)
     b, hq, c, d = q.shape
     hkv = kq.shape[1]

@@ -175,6 +175,24 @@ def main():
     assert err_g < 1e-2, f"ragged paged GQA vs oracle: {err_g}"
     results["ragged_parity"] = "ok"
 
+    # 5c. blocked context kernel == oracle (the prefix-skip suffix path):
+    # per-slot B=1 call shape, GQA fold, and the row-tiled regime
+    # (rows=512 -> two 256-row blocks). Same 1e-2 bf16 rounding bar as 5b.
+    from qgemm_tpu.ops.pallas.paged_attention import paged_context_attention
+    from qgemm_tpu.serving.paged_cache import \
+        paged_context_attention_reference
+    c0 = _rep(cache, page_table=cache.page_table[0:1])
+    jl0 = jl[0:1]
+    for g_ctx in (2, 4):                # rows 256 (one block) / 512 (tiled)
+        qc_ = jnp.asarray(
+            rng.normal(size=(1, h * g_ctx, 128, d)).astype(np.float32))
+        off0 = jl0 - 128
+        got_c = paged_context_attention(qc_, c0, jl0, off0)
+        ref_c = paged_context_attention_reference(qc_, c0, jl0, off0)
+        err_c = float(jnp.max(jnp.abs(got_c - ref_c)))
+        assert err_c < 1e-2, f"context kernel g={g_ctx} vs oracle: {err_c}"
+    results["context_parity"] = "ok"
+
     # 5d. ring attention executes its flash-composed body on hardware
     #     (1-device 'seq' mesh: the ring degenerates to one causal flash
     #     call + a no-op ppermute — validates the shard_map+kernel+custom-

@@ -32,12 +32,13 @@ def test_allocator_grow_release():
         a.grow(1, 5 * PAGE_SIZE)
 
 
-def _filled_cache(b=3, h=2, d=64, lengths=(40, 200, 129)):
+def _filled_cache(b=3, h=2, d=64, lengths=(40, 200, 129), pps=3,
+                  n_pages=16):
     """Build a paged cache holding known K/V for each slot, plus the dense
     [B, H, S, D] arrays they should reconstruct to."""
-    pps = 3
-    cache = init_paged_cache(h, d, n_pages=16, batch=b, pages_per_slot=pps)
-    alloc = PageAllocator(16, b, pps)
+    cache = init_paged_cache(h, d, n_pages=n_pages, batch=b,
+                             pages_per_slot=pps)
+    alloc = PageAllocator(n_pages, b, pps)
     s_max = pps * PAGE_SIZE
     k_dense = np.zeros((b, h, s_max, d), np.float32)
     v_dense = np.zeros((b, h, s_max, d), np.float32)
@@ -283,6 +284,64 @@ def test_ragged_kernel_matches_reference():
     ref = paged_attention_reference(q, cache, jl)
     got = paged_decode_attention_ragged(q, cache, jl)
     assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_context_kernel_matches_reference():
+    """The blocked context kernel (interpret mode on CPU, f32 — exact)
+    matches paged_context_attention_reference: multi-row chunks at
+    per-slot offsets, GQA query groups, mixed residencies."""
+    from qgemm_tpu.ops.pallas.paged_attention import (
+        paged_context_attention, paged_context_vmem_ok)
+    from qgemm_tpu.serving.paged_cache import \
+        paged_context_attention_reference
+
+    b, h, d, c = 3, 2, 64, 16
+    lengths = (40, 200, 129)
+    cache, _, _, jl = _filled_cache(b=b, h=h, d=d, lengths=lengths)
+    offs = jl - c                             # rows end at each slot's tail
+    for hq in (h, 2 * h):                     # MHA and GQA (g=2)
+        assert paged_context_vmem_ok(h, hq // h, c, d, PAGE_SIZE)
+        q = jnp.asarray(RNG.normal(size=(b, hq, c, d)), jnp.float32)
+        ref = paged_context_attention_reference(q, cache, jl, offs)
+        got = paged_context_attention(q, cache, jl, offs)
+        assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    # the model's per-slot call shape: B=1, scalar offset
+    q1 = jnp.asarray(RNG.normal(size=(1, 4, c, d)), jnp.float32)
+    c1 = PagedKVCache(kq=cache.kq, kc=cache.kc, vq=cache.vq, vc=cache.vc,
+                      page_table=cache.page_table[1:2],
+                      page_size=PAGE_SIZE)
+    ref = paged_context_attention_reference(q1, c1, jl[1:2], int(offs[1]))
+    got = paged_context_attention(q1, c1, jl[1:2], int(offs[1]))
+    assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_context_kernel_row_tiling():
+    """Chunks whose GQA-folded rows exceed the 256-row VMEM tile split
+    over the row-block grid dim — both the TIGHT causal-skip regime
+    (row blocks inside one GQA group, incl. the group-wrap block
+    boundary) and the loose one (a block mixing groups)."""
+    from qgemm_tpu.ops.pallas.paged_attention import (_ctx_row_block,
+                                                      paged_context_attention)
+    from qgemm_tpu.serving.paged_cache import \
+        paged_context_attention_reference
+
+    b, h, d = 2, 2, 64
+    lengths = (300, 513)
+    cache, _, _, jl = _filled_cache(b=b, h=h, d=d, lengths=lengths,
+                                    pps=6, n_pages=16)
+    for hq, c in ((2, 300),     # g=1, rows=300 -> Rb=100: tight, off-pow2
+                  (4, 256),     # g=2, rows=512 -> Rb=128: group wrap at
+                                #   the block-2 boundary
+                  (8, 64)):     # g=4, rows=256 -> Rb=128 > C: loose bound
+        rows = (hq // h) * c
+        if rows > 128:
+            assert _ctx_row_block(rows) < rows    # tiling engaged
+        offs = jl - c
+        q = jnp.asarray(RNG.normal(size=(b, hq, c, d)), jnp.float32)
+        ref = paged_context_attention_reference(q, cache, jl, offs)
+        got = paged_context_attention(q, cache, jl, offs)
+        assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
 def test_build_step_tables():
