@@ -223,17 +223,25 @@ class MultiHeadAttention:
                     paged_attention_reference, paged_write_step)
                 if q.shape[2] > 1:
                     # PAGED CHUNK PREFILL (the prefix-cache compute-skip
-                    # path): cache_index is the chunk's page-aligned
-                    # position offset; the chunk's K/V are written into the
-                    # slot's pages and its rows attend every cached
-                    # position <= their own (context attention — causal
-                    # across the shared prefix AND within the chunk)
+                    # path and paged chunked admission): cache_index is the
+                    # chunk's page-aligned position offset; the chunk's K/V
+                    # are written into the slot's pages and its rows attend
+                    # every cached position <= their own (context attention
+                    # — causal across the shared prefix AND within the
+                    # chunk)
                     assert q.shape[0] == 1, "paged chunk prefill is per-slot"
-                    assert not self._tp, \
-                        "paged chunk prefill under TP is not wired yet"
+                    offset = jnp.asarray(cache_index)
+                    if self._tp:
+                        p_ = self.w_o.mesh.shape[self.w_o.tp_axis]
+                        assert q.shape[1] % p_ == 0 \
+                            and self.kv_heads % p_ == 0, \
+                            "paged chunk prefill under TP needs both head " \
+                            "counts divisible by the model axis"
+                        out, new_cache = _tp_paged_chunk_prefill(
+                            self, q, k, v, kv_cache, offset)
+                        return self.w_o(self._merge(out)), new_cache
                     from qgemm_tpu.serving.paged_cache import (
                         paged_write_prompt)
-                    offset = jnp.asarray(cache_index)
                     first_page = offset // kv_cache.page_size
                     new_cache = paged_write_prompt(
                         kv_cache, 0, k[0], v[0], first_page=first_page)
@@ -475,6 +483,43 @@ def _paged_context_attend(q, cache, lengths, offset):
     from qgemm_tpu.serving.paged_cache import (
         paged_context_attention_reference)
     return paged_context_attention_reference(q, cache, lengths, offset)
+
+
+def _tp_paged_chunk_prefill(mha, q, k, v, cache, offset):
+    """Paged chunk prefill (prefix-cache suffix / paged chunked admission)
+    under tensor parallelism: pools and heads are sharded over the model
+    axis exactly as in ``_tp_paged_decode``; the per-slot page-table view
+    and the chunk offset replicate. Each device writes its own heads'
+    chunk K/V into its pool shard and context-attends its head slice —
+    no collective in the body (the paired row-parallel W_O carries the
+    block's one psum)."""
+    from jax.sharding import PartitionSpec as P
+
+    from qgemm_tpu.parallel.tp_ops import shard_map
+    from qgemm_tpu.serving.paged_cache import (PagedKVCache,
+                                               paged_write_prompt)
+
+    mesh, axis = mha.w_o.mesh, mha.w_o.tp_axis
+    page_size = cache.page_size
+    chunk = q.shape[2]
+
+    def body(q, k, v, kq, kc, vq, vc, pt, off):
+        local = PagedKVCache(kq=kq, kc=kc, vq=vq, vc=vc, page_table=pt,
+                             page_size=page_size)
+        local = paged_write_prompt(local, 0, k[0], v[0],
+                                   first_page=off // page_size)
+        lengths = jnp.reshape(off + chunk, (1,))
+        out = _paged_context_attend(q, local, lengths, off)
+        return out, local.kq, local.kc, local.vq, local.vc
+
+    hs = P(None, axis)
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(hs, hs, hs, hs, hs, hs, hs, P(), P()),
+                  out_specs=(hs, hs, hs, hs, hs), check_rep=False)
+    out, kq, kc, vq, vc = f(q, k, v, cache.kq, cache.kc, cache.vq, cache.vc,
+                            cache.page_table, offset)
+    from dataclasses import replace as _rep
+    return out, _rep(cache, kq=kq, kc=kc, vq=vq, vc=vc)
 
 
 def _tp_paged_decode(mha, q, k, v, cache, positions):

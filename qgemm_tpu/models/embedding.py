@@ -42,8 +42,13 @@ class Embedding:
         return cls(table=table, pos=sinusoidal_positions(max_len, d_model, dtype))
 
     def __call__(self, tokens, offset: int | jax.Array = 0):
-        """tokens [B, S] int -> [B, S, D] with positions offset..offset+S."""
-        emb = jnp.take(self.table, tokens, axis=0)
+        """tokens [B, S] int -> [B, S, D] with positions offset..offset+S.
+
+        Out-of-vocab tokens CLAMP (mode="clip"): jnp.take's default fill
+        mode yields NaN embeddings that poison the whole forward, and its
+        lowering differs between the single-device and shard_map paths —
+        clamping is deterministic and identical everywhere."""
+        emb = jnp.take(self.table, tokens, axis=0, mode="clip")
         s = tokens.shape[-1]
         pos = jax.lax.dynamic_slice_in_dim(self.pos, offset, s, axis=0)
         return emb + pos

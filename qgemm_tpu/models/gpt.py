@@ -211,7 +211,7 @@ class GPT:
         Returns (logits [B, vocab], new caches)."""
         if getattr(pos, "ndim", 0) == 1:
             # per-slot positions: gather each slot's own positional encoding
-            emb = jnp.take(self.embed.table, tok, axis=0)
+            emb = jnp.take(self.embed.table, tok, axis=0, mode="clip")
             x = emb + jnp.take(self.embed.pos, pos, axis=0)[:, None, :]
         else:
             x = self.embed(tok, offset=pos)

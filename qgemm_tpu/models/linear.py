@@ -63,10 +63,12 @@ class Linear:
         if bits == 4:
             return QuantizedLinear(wq=quantize_weights_int4(self.w), b=self.b,
                                    out_features=self.w.shape[1],
+                                   in_features=self.w.shape[0],
                                    outlier_threshold=outlier_threshold,
                                    outlier_capacity=outlier_capacity)
         return QuantizedLinear(wq=quantize_weights(self.w), b=self.b,
                                out_features=self.w.shape[1],
+                               in_features=self.w.shape[0],
                                outlier_threshold=outlier_threshold,
                                outlier_capacity=outlier_capacity)
 
@@ -74,7 +76,8 @@ class Linear:
 @partial(jax.tree_util.register_dataclass,
          data_fields=("wq", "b"),
          meta_fields=("out_features", "outlier_threshold", "outlier_capacity",
-                      "tp_mode", "tp_axis", "gather_output", "mesh"))
+                      "tp_mode", "tp_axis", "gather_output", "mesh",
+                      "in_features"))
 @dataclass
 class QuantizedLinear:
     """``tp_mode`` routes the fused int8 Pallas kernel multi-chip: GSPMD
@@ -100,6 +103,7 @@ class QuantizedLinear:
     tp_axis: str = "model"
     gather_output: bool = True     # column mode: all-gather the output?
     mesh: object = None            # jax.sharding.Mesh when tp_mode != "none"
+    in_features: int = 0           # true K (0 = unknown, legacy pickles)
 
     def with_tp(self, mode: str, mesh, axis: str = "model",
                 gather_output: bool = True) -> "QuantizedLinear":
@@ -113,7 +117,15 @@ class QuantizedLinear:
             # extent) so activation shards line up with weight shards.
             n = self.wq.qp.shape[1]
             kg = self.wq.c.shape[0]
-            ok = (n % p == 0) if mode == "column" else (kg % p == 0)
+            if mode == "column":
+                ok = n % p == 0
+            else:
+                # row mode also requires the TRUE K unpadded (equal to the
+                # packed extent) — a padded layer would trip the shard_map
+                # body's trace-time assert instead of falling back to the
+                # single-kernel path like the int8 branch does (r3 advisor)
+                ok = (kg % p == 0
+                      and self.in_features == 2 * self.wq.qp.shape[0])
             if not ok:
                 return self
             return replace(self, tp_mode=mode, tp_axis=axis,

@@ -299,7 +299,7 @@ class Transformer:
         (continuous batching); ``src_mask`` [B, S_src] bool masks padded
         encoder positions for ragged source batches."""
         if getattr(pos, "ndim", 0) == 1:
-            emb = jnp.take(self.embed.table, tok, axis=0)
+            emb = jnp.take(self.embed.table, tok, axis=0, mode="clip")
             x = emb + jnp.take(self.embed.pos, pos, axis=0)[:, None, :]
         else:
             x = self.embed(tok, offset=pos)

@@ -101,6 +101,28 @@ def run_dryrun(n_devices: int) -> None:
     fin = eng.run_to_completion()
     assert len(fin) == 2 and all(len(r.generated) == 3 for r in fin)
 
+    # --- paged + prefix-cache + chunked + TP serving admission (r4) --------
+    # >=128-token REPEATED prompts so the prefix map actually fires: the
+    # suffix prefill runs the paged chunk program inside shard_map (the
+    # seam the r3 dryrun skipped — a failed matched-prefix admission here
+    # turns into req.error, which this asserts against)
+    pcfg = _GPTConfig(vocab_size=64, d_model=8 * model_par,
+                      n_heads=model_par, d_ff=16 * model_par, n_layers=2,
+                      max_seq_len=384)
+    pgpt = _GPT.init(pcfg, key=jax.random.PRNGKey(21)).quantize()
+    pgpt_sharded = shard_quantized_model(pgpt, mesh)
+    peng = ContinuousBatchingEngine(pgpt_sharded, max_slots=2, mesh=mesh,
+                                    paged=True, chunked_prefill=128)
+    assert peng.prefix_cache, "prefix cache should stay enabled under TP"
+    system = [1 + (i % 60) for i in range(160)]
+    for t in (7, 9):
+        peng.submit(Request(prompt=system + [t], max_new_tokens=3))
+    pfin = peng.run_to_completion(max_steps=60)
+    assert len(pfin) == 2 and all(r.error is None for r in pfin), \
+        [r.error for r in pfin]
+    assert all(len(r.generated) == 3 for r in pfin)
+    assert peng.alloc.prefix_hits >= 1, "prefix map never fired under TP"
+
     # --- all-to-all expert parallelism (r3) --------------------------------
     from qgemm_tpu.models.moe import MoEFeedForward
     from qgemm_tpu.parallel.expert import ep_moe_forward_a2a, shard_moe

@@ -122,9 +122,19 @@ def load_checkpoint_sharded(dirpath: str, template):
             def read(index, key=key, shape=getattr(leaf, "shape", ())):
                 skey = _shard_key(key, index, shape)
                 if skey not in data:
-                    raise KeyError(
-                        f"{dirpath}: no shard {skey} — checkpoint topology "
-                        "differs from template; reshard via load_checkpoint")
+                    # legacy format (pre-r3): start-offsets only, e.g.
+                    # 'w@0,512'. Accept it on miss so older sharded
+                    # checkpoints keep loading (their ambiguity only
+                    # mattered for the error message, not the bytes).
+                    legacy = key + "@" + ",".join(
+                        str(s.start or 0) for s in index)
+                    if legacy in data:
+                        skey = legacy
+                    else:
+                        raise KeyError(
+                            f"{dirpath}: no shard {skey} — checkpoint "
+                            "topology differs from template; reshard via "
+                            "load_checkpoint")
                 arr = data[skey]
                 if skey + _DTYPE_TAG in data:
                     arr = arr.view(np.dtype(str(data[skey + _DTYPE_TAG])))

@@ -130,3 +130,30 @@ def test_w4_outlier_decomposition():
         bits=4, outlier_threshold=6.0, outlier_capacity=16)
     y = lin4o(x)
     assert y.shape == (64, n) and bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_w4a8_row_tp_padded_k_falls_back():
+    """A W4A8 layer whose true K is padded to the group size must NOT be
+    marked row-parallel (the shard_map body asserts true K == packed
+    extent at trace time); ``with_tp`` returns it unchanged — the same
+    graceful single-kernel fallback the int8 path provides (r3 advisor)."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from qgemm_tpu.models.linear import Linear
+    from qgemm_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((2,), ("model",))
+    key = jax.random.PRNGKey(7)
+    # K=200 pads to 256: kg=2 divides p=2, but true K != packed extent
+    padded = Linear.init(key, 200, 64, bias=False).quantize(bits=4)
+    assert padded.with_tp("row", mesh).tp_mode == "none"
+    # clean K=256: row TP engages and matches the single-kernel result
+    clean_f = Linear.init(key, 256, 64, bias=False)
+    clean = clean_f.quantize(bits=4)
+    row = clean.with_tp("row", mesh)
+    assert row.tp_mode == "row"
+    x = jnp.asarray(RNG.normal(size=(8, 256)).astype(np.float32))
+    # row TP quantizes each K slab on its own activation grid — matches
+    # within grid noise, not bit-exactly (same tolerance as test_parallel)
+    assert_allclose(row(x), clean(x), rtol=5e-2, atol=5e-2)
