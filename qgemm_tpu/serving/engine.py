@@ -265,8 +265,11 @@ class ContinuousBatchingEngine:
         so admission compile cost is bounded by three programs total
         (slice slot cache / fill chunk / scatter back) instead of one
         compile per pow2 prompt bucket — and a 2048-token admission never
-        triggers a large one-off compile. Dense-cache mode only (paged
-        prompts write whole pages already)."""
+        triggers a large one-off compile. In PAGED mode the chunk size
+        rounds up to whole pages and each chunk runs the same compiled
+        suffix-chunk program as the prefix compute-skip (one executable
+        for every paged prompt length; composes with prefix caching and
+        TP)."""
         self.model = model
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len or model.cfg.max_seq_len
@@ -285,6 +288,22 @@ class ContinuousBatchingEngine:
 
         self.paged = paged
         self.prefix_cache = prefix_cache and paged
+        if self.prefix_cache and mesh is not None:
+            # the compute-skip suffix prefill runs the paged chunk program
+            # under shard_map with head-sharded pools — possible only when
+            # both head counts divide the model axis; otherwise disable
+            # prefix caching up front (serving stays correct, just without
+            # sharing) instead of failing every matched-prefix admission
+            cfg_ = model.cfg
+            p_ = dict(mesh.shape).get("model", 1)
+            hkv_ = getattr(cfg_, "n_kv_heads", 0) or cfg_.n_heads
+            if cfg_.n_heads % p_ or hkv_ % p_:
+                import warnings
+                warnings.warn(
+                    f"prefix_cache disabled: head counts ({cfg_.n_heads}, "
+                    f"{hkv_}) must divide the model axis ({p_}) for the "
+                    "TP suffix prefill", stacklevel=2)
+                self.prefix_cache = False
         if paged:
             from qgemm_tpu.serving.paged_cache import (PAGE_SIZE,
                                                        PageAllocator,
@@ -334,11 +353,21 @@ class ContinuousBatchingEngine:
         self._prefill_paged_suffix = jax.jit(
             self._prefill_paged_suffix_impl, static_argnames=("plen",))
         self.chunked_prefill = chunked_prefill
+        self._paged_chunk: Optional[int] = None
         self._admit_times: List[float] = []
         self._lp_slots: Dict[int, Request] = {}
         self.prefill_tokens_skipped = 0
-        if chunked_prefill:
-            assert not paged, "chunked_prefill is for the dense-cache mode"
+        if chunked_prefill and paged:
+            # paged chunked admission: prompts are fed chunk-by-chunk
+            # through the SAME compiled suffix-chunk program the prefix
+            # compute-skip uses (each chunk writes its pages and
+            # context-attends everything <= its own positions), so a long
+            # uncached prompt never triggers a per-pow2-bucket compile
+            # (13-20 s per new bucket by the repo's own measurement).
+            # Chunks are page-granular: writes land on whole pages.
+            self._paged_chunk = \
+                -(-chunked_prefill // self._page_size) * self._page_size
+        elif chunked_prefill:
             self._slice_slot = jax.jit(_slice_slot)
             # the sliced caches are DONATED chunk to chunk (in-place fill);
             # self.caches is never donated here, so a failing chunk leaves
@@ -526,6 +555,15 @@ class ContinuousBatchingEngine:
                         h = hashlib.sha1(h + chunk).digest()
                         hashes.append(h)
                 n_match = self.alloc.peek_prefix(hashes)
+                # compute skip: always recompute at least the final prompt
+                # token (its logits seed generation). Acquire shared ONLY
+                # the pages the admission will NOT recompute: the suffix
+                # prefill rewrites pages >= skip_pages, and rewriting a
+                # refcounted shared page (possibly held by a live request,
+                # published in the prefix map) with K/V recomputed by a
+                # different program would silently change shared content
+                # under a concurrent reader (r3 advisor finding).
+                skip_pages = min(n_match, (plen - 1) // ps)
                 pool_cap = self.caches[0].n_pages - 1     # page 0 reserved
                 if need > min(self.alloc.pages_per_slot, pool_cap):
                     # could NEVER fit (even with the pool empty) — finish
@@ -540,8 +578,8 @@ class ContinuousBatchingEngine:
                 # matched pages that are idle in the LRU count toward
                 # n_free but will be CONSUMED by acquisition — subtract
                 # them or the grow below could exhaust the pool mid-admit
-                resurrect = self.alloc.peek_prefix_cached(hashes, n_match)
-                if need - n_match > self.alloc.n_free - resurrect:
+                resurrect = self.alloc.peek_prefix_cached(hashes, skip_pages)
+                if need - skip_pages > self.alloc.n_free - resurrect:
                     # backpressure: not enough free pages NOW — requeue at
                     # the FRONT (FIFO preserved, no starvation) and stop
                     # admitting until finishing requests release pages
@@ -550,7 +588,7 @@ class ContinuousBatchingEngine:
                     self.book.submit(req, front=True)
                     return
                 try:
-                    for j in range(n_match):
+                    for j in range(skip_pages):
                         p = self.alloc.acquire_shared(slot, hashes[j])
                         self._pt_host[slot, j] = p
                     grew = self._grow_slot(slot, worst)
@@ -562,11 +600,8 @@ class ContinuousBatchingEngine:
                     req.done = False
                     self.book.submit(req, front=True)
                     return
-                if grew or n_match:
+                if grew or skip_pages:
                     self._sync_page_tables()
-                # compute skip: always recompute at least the final prompt
-                # token (its logits seed generation)
-                skip_pages = min(n_match, (plen - 1) // ps)
             import time as _time
             t_adm = _time.perf_counter()
             try:
@@ -580,7 +615,14 @@ class ContinuousBatchingEngine:
                     first_tok, first_lp, self.caches = self._admit_chunked(
                         req, slot, plen, sub, eff_topk)
                 else:
-                    if self.paged and self.prefix_cache and skip_pages > 0:
+                    # skip_pages is 0 whenever prefix_cache is off/missed
+                    if (self.paged and self._paged_chunk
+                            and plen - skip_pages * ps > self._paged_chunk):
+                        first_tok, first_lp, self.caches = \
+                            self._admit_paged_chunked(
+                                req, slot, plen, skip_pages, sub, eff_topk)
+                        self.prefill_tokens_skipped += skip_pages * ps
+                    elif self.paged and self.prefix_cache and skip_pages > 0:
                         suffix_len = plen - skip_pages * ps
                         sbucket = -(-suffix_len // ps) * ps
                         suffix = jnp.asarray(np.pad(
@@ -670,6 +712,38 @@ class ContinuousBatchingEngine:
             logits, jnp.int32(idx), key, jnp.float32(req.temperature),
             jnp.float32(req.top_p), jnp.int32(eff_topk))
         return first_tok, first_lp, new_caches
+
+    def _admit_paged_chunked(self, req, slot, plen, skip_pages, key,
+                             eff_topk):
+        """Admit a long prompt into the PAGED cache chunk by chunk: every
+        chunk (page-granular, tail padded to the fixed chunk size) runs the
+        same compiled suffix-chunk program — write the chunk's K/V into the
+        slot's pages, context-attend everything <= its own positions — so
+        ONE executable serves every paged prompt length, chunk position and
+        slot. Composes with the prefix compute-skip: the loop starts after
+        the ``skip_pages`` shared pages. Sampling params only matter on the
+        final chunk (its call yields the first generated token at the true
+        last-prompt-token logits); earlier chunks' sampled tokens are
+        discarded."""
+        ps = self._page_size
+        chunk = self._paged_chunk
+        start = skip_pages * ps
+        total = plen - start
+        n_chunks = -(-total // chunk)
+        padded = np.pad(np.asarray(req.prompt[start:], np.int32),
+                        (0, n_chunks * chunk - total))
+        first_tok = first_lp = None
+        for c in range(n_chunks):
+            toks = jnp.asarray(padded[None, c * chunk:(c + 1) * chunk])
+            off_pages = skip_pages + (c * chunk) // ps
+            last = c == n_chunks - 1
+            last_idx = (total - 1 - c * chunk) if last else chunk - 1
+            first_tok, first_lp, self.caches = self._prefill_paged_suffix(
+                self.model, toks, jnp.int32(last_idx), self.caches,
+                jnp.int32(slot), jnp.int32(off_pages), key,
+                jnp.float32(req.temperature), jnp.float32(req.top_p),
+                jnp.int32(eff_topk), plen=chunk)
+        return first_tok, first_lp, self.caches
 
     def cancel(self, req_id: int) -> bool:
         """Cancel a request by id: a waiting request is dropped; an active
