@@ -22,20 +22,15 @@ import jax
 import jax.numpy as jnp
 
 
-def sample_logits(logits, key, temperature=1.0, top_k=0, top_p=1.0):
-    """logits [B, V] -> tokens [B] int32.
-
-    temperature: scalar or [B]; 0 (or <=1e-6) means greedy for that slot.
-    top_k: scalar or [B] int (dynamic, per-slot); 0 disables.
-    top_p: scalar or [B]; 1 disables.
-    """
+def _warped_sorted(logits, temperature, top_k, top_p):
+    """Shared filter pipeline: returns (scaled sorted logits with filtered
+    entries at -inf, sort permutation, temp [B]). Semantics documented in
+    the module docstring (top-k cut, temperature, nucleus)."""
     b, v = logits.shape
     lg = logits.astype(jnp.float32)
     temp = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (b,))
     topp = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (b,))
     topk = jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (b,))
-
-    greedy_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
 
     # one descending sort serves both filters
     sort_idx = jnp.argsort(-lg, axis=-1)                   # [B, V]
@@ -53,12 +48,42 @@ def sample_logits(logits, key, temperature=1.0, top_k=0, top_p=1.0):
     csum = jnp.cumsum(probs, axis=-1)
     keep = jnp.logical_and(keep, (csum - probs) < topp[:, None])
     scaled = jnp.where(keep, scaled, -jnp.inf)
+    return scaled, sort_idx, temp
 
+
+def sample_logits(logits, key, temperature=1.0, top_k=0, top_p=1.0):
+    """logits [B, V] -> tokens [B] int32.
+
+    temperature: scalar or [B]; 0 (or <=1e-6) means greedy for that slot.
+    top_k: scalar or [B] int (dynamic, per-slot); 0 disables.
+    top_p: scalar or [B]; 1 disables.
+    """
+    lg = logits.astype(jnp.float32)
+    greedy_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+    scaled, sort_idx, temp = _warped_sorted(lg, temperature, top_k, top_p)
     # sample a RANK, then map back through the sort permutation
     choice = jax.random.categorical(key, scaled, axis=-1)  # [B]
     sampled = jnp.take_along_axis(
         sort_idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
     return jnp.where(temp <= 1e-6, greedy_tok, sampled)
+
+
+def warped_probs(logits, temperature=1.0, top_k=0, top_p=1.0):
+    """The full FILTERED distribution [B, V] that ``sample_logits`` draws
+    from (same top-k -> temperature -> nucleus pipeline), in original
+    token order. temperature <= 1e-6 returns the exact greedy one-hot.
+    Speculative rejection sampling needs the whole vector: acceptance
+    ratios p_target(x)/p_draft(x) and the leftover distribution
+    max(0, p_t - p_d) are elementwise in it."""
+    b, v = logits.shape
+    lg = logits.astype(jnp.float32)
+    scaled, sort_idx, temp = _warped_sorted(lg, temperature, top_k, top_p)
+    probs_sorted = jax.nn.softmax(scaled, axis=-1)
+    # scatter back to token order through the sort permutation
+    probs = jnp.zeros_like(probs_sorted).at[
+        jnp.arange(b)[:, None], sort_idx].set(probs_sorted)
+    onehot = jax.nn.one_hot(jnp.argmax(lg, axis=-1), v, dtype=jnp.float32)
+    return jnp.where((temp <= 1e-6)[:, None], onehot, probs)
 
 
 def token_logprob(logits, tokens):

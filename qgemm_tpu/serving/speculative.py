@@ -134,3 +134,121 @@ def speculative_generate(target, draft, prompt, max_new_tokens: int,
         buf = jnp.where(jnp.arange(buf.shape[0]) < count, buf, eos_token)
     return SpecResult(tokens=buf[:max_new_tokens], rounds=rounds,
                       drafted=(rounds - 1) * gamma, accepted=acc_total)
+
+
+@functools.partial(jax.jit, static_argnames=("max_new_tokens", "gamma",
+                                             "quantized_cache", "eos_token"))
+def speculative_sample(target, draft, prompt, key, max_new_tokens: int,
+                       gamma: int = 4, temperature=1.0, top_k=0, top_p=1.0,
+                       quantized_cache: bool = False,
+                       eos_token=None) -> SpecResult:
+    """STOCHASTIC speculative decoding (Leviathan-style rejection
+    sampling), batch 1 — composes speculation with the engine's
+    temperature / top-k / top-p sampling semantics (ops/sampling.py; both
+    distributions are warped through the same filter pipeline, so the
+    output is distributed EXACTLY as sequential warped-target sampling):
+
+      * the draft proposes x_i ~ q_i (its warped distribution);
+      * the target scores all gamma+1 positions in one chunk forward;
+      * x_i is accepted with prob min(1, p_i(x_i)/q_i(x_i)); the first
+        rejection resamples from the leftover norm(max(0, p_i - q_i));
+        full acceptance samples a bonus token from p_gamma.
+
+    temperature <= 1e-6 degenerates to exact greedy speculation (the
+    warped distributions become one-hots, so acceptance == agreement and
+    the leftover is the target's argmax) — same transcript as
+    ``speculative_generate``."""
+    from qgemm_tpu.ops.sampling import warped_probs
+    b, s_p = prompt.shape
+    assert b == 1, "speculative decoding is per-sequence (batch 1)"
+    ext = s_p + max_new_tokens + gamma + 2
+    for name, m in (("target", target), ("draft", draft)):
+        limit = getattr(getattr(m, "cfg", None), "max_seq_len", None)
+        assert limit is None or ext <= limit, (
+            f"{name}: prompt + max_new_tokens + gamma + 2 = {ext} exceeds "
+            f"max_seq_len {limit}")
+    warp = lambda lg: warped_probs(lg, temperature, top_k, top_p)
+
+    tc = target.init_cache(1, ext, quantized=quantized_cache)
+    dc = draft.init_cache(1, ext, quantized=quantized_cache)
+    tl, tc = target.prefill(prompt, tc)
+    _, dc = draft.prefill(prompt, dc)
+    v = tl.shape[-1]
+    key, k0 = jax.random.split(key)
+    p0 = warp(tl[:, s_p - 1, :])[0]
+    tok0 = jax.random.categorical(k0, jnp.log(p0)).astype(jnp.int32)
+
+    buf = jnp.zeros((max_new_tokens + gamma + 1,), jnp.int32)
+    buf = buf.at[0].set(tok0)
+
+    def cond(st):
+        buf, count, cur, pos, tc, dc, key, rounds, acc_total = st
+        stop = count >= max_new_tokens
+        if eos_token is not None:
+            stop = jnp.logical_or(stop, cur == eos_token)
+        return jnp.logical_not(stop)
+
+    def body(st):
+        buf, count, cur, pos, tc, dc, key, rounds, acc_total = st
+        # kd seeds the draft scan's own stream — it must be distinct from
+        # the carried-forward key or next round's splits would collide
+        # with this round's draft samples
+        key, kd, kacc, kextra = jax.random.split(key, 4)
+
+        # draft: gamma sampled proposals (+1 step closing the cache hole);
+        # keep each step's FULL warped distribution for the ratios
+        def dstep(carry, j):
+            tok, dc, k = carry
+            k, ks = jax.random.split(k)
+            logits, dc = draft.decode_step(tok[None, None], pos + j, dc)
+            q = warp(logits)[0]                             # [V]
+            nxt = jax.random.categorical(ks, jnp.log(q)).astype(jnp.int32)
+            return (nxt, dc, k), (nxt, q)
+
+        (_, dc, _), (props, qs) = jax.lax.scan(
+            dstep, (cur, dc, kd), jnp.arange(gamma + 1))
+        d = props[:gamma]                                   # [gamma]
+        qs = qs[:gamma]                                     # [gamma, V]
+
+        # target scores [cur, d_1..d_gamma] in one chunk forward at pos
+        seq = jnp.concatenate([cur[None], d])[None, :]
+        tlogits, tc = target.prefill_chunk(seq, pos, tc)
+        p = warp(tlogits[0])                                # [gamma+1, V]
+
+        # accept x_i with prob min(1, p_i(x_i)/q_i(x_i)): u*q(x) < p(x)
+        px = jnp.take_along_axis(p[:gamma], d[:, None], axis=1)[:, 0]
+        qx = jnp.take_along_axis(qs, d[:, None], axis=1)[:, 0]
+        u = jax.random.uniform(kacc, (gamma,))
+        accept = (u * qx < px).astype(jnp.int32)
+        acc = jnp.cumprod(accept)
+        n_acc = jnp.sum(acc)                                # 0..gamma
+
+        # the extra token: leftover distribution at the first rejection,
+        # or the target's own distribution after full acceptance (q at
+        # the bonus position is defined 0, making the leftover = p there)
+        q_pad = jnp.concatenate([qs, jnp.zeros((1, v))], axis=0)
+        resid = jnp.maximum(p[n_acc] - q_pad[n_acc], 0.0)
+        dist = jnp.where(jnp.sum(resid) > 1e-9, resid, p[n_acc])
+        extra = jax.random.categorical(kextra,
+                                       jnp.log(dist)).astype(jnp.int32)
+
+        idx = jnp.arange(gamma + 1)
+        cand = jnp.where(idx < n_acc, jnp.concatenate([d, d[-1:]]), extra)
+        produced = n_acc + 1
+        if eos_token is not None:
+            is_eos = jnp.logical_and(cand == eos_token, idx < produced)
+            produced = jnp.where(jnp.any(is_eos),
+                                 jnp.argmax(is_eos) + 1, produced)
+        buf = jax.lax.dynamic_update_slice(buf, cand, (count,))
+        cur_new = cand[produced - 1]
+        return (buf, count + produced, cur_new, pos + produced, tc, dc,
+                key, rounds + 1, acc_total + n_acc)
+
+    st = (buf, jnp.int32(1), tok0, jnp.int32(s_p), tc, dc, key,
+          jnp.int32(1), jnp.int32(0))
+    buf, count, cur, pos, tc, dc, key, rounds, acc_total = \
+        jax.lax.while_loop(cond, body, st)
+    if eos_token is not None:
+        buf = jnp.where(jnp.arange(buf.shape[0]) < count, buf, eos_token)
+    return SpecResult(tokens=buf[:max_new_tokens], rounds=rounds,
+                      drafted=(rounds - 1) * gamma, accepted=acc_total)
