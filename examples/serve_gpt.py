@@ -48,6 +48,10 @@ def main():
                          "request maxima, not slots x max-seq-len")
     ap.add_argument("--n-pages", type=int, default=0,
                     help="page-pool size (0 = full provisioning)")
+    ap.add_argument("--chunked", type=int, default=0,
+                    help="chunked prefill size (0 = off): long prompts "
+                         "admit chunk-by-chunk through one compiled "
+                         "program (dense AND paged modes)")
     ap.add_argument("--tp", type=int, default=0,
                     help="tensor-parallel ways (BASELINE config 5): shard "
                          "the int8 model over a (1, tp) mesh — needs >= tp "
@@ -79,7 +83,8 @@ def main():
     engine = ContinuousBatchingEngine(model, max_slots=args.slots,
                                       scheduler=args.scheduler, mesh=mesh,
                                       paged=args.paged,
-                                      n_pages=args.n_pages or None)
+                                      n_pages=args.n_pages or None,
+                                      chunked_prefill=args.chunked or None)
     print(f"model: {model.num_params()/1e6:.1f}M params "
           f"({'bf16/f32' if args.no_quantize else 'int8'}); "
           f"scheduler: {engine.scheduler}; slots: {args.slots}"

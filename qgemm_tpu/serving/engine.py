@@ -228,7 +228,47 @@ def _scatter_slot(caches, sliced, slot):
     return [jax.tree.map(put, c, t) for c, t in zip(caches, sliced)]
 
 
-class ContinuousBatchingEngine:
+class _PagedPoolOps:
+    """Host-side paged-pool plumbing shared by the GPT and seq2seq engines:
+    device page-table/step-table sync, per-slot growth, release. Expects
+    ``self.alloc`` (PageAllocator), ``self._pt_host`` [slots, pps] int32,
+    ``self.caches`` (list of PagedKVCache), ``self._page_size``."""
+
+    def _sync_page_tables(self):
+        from dataclasses import replace as _rep
+
+        from qgemm_tpu.serving.paged_cache import build_step_tables
+        # ragged-grid step tables: rebuilt on the same event as the page
+        # tables (allocation changes), so the decode grid tracks the pages
+        # actually allocated instead of slots x pages_per_slot. The bucket
+        # rounds T up so jit sees few distinct shapes.
+        ss, sp = build_step_tables(
+            [len(p) for p in self.alloc.slot_pages],
+            self.caches[0].page_table.shape[1])
+        # one DISTINCT device array per layer: the decode step donates the
+        # cache pytree, and donating the same buffer L times makes XLA
+        # demote the duplicates (warning + a copy per step). The tables are
+        # tiny (slots x pages_per_slot int32) and sync only when they
+        # change.
+        self.caches = [_rep(c, page_table=jnp.asarray(self._pt_host),
+                            step_slot=jnp.asarray(ss),
+                            step_page=jnp.asarray(sp))
+                       for c in self.caches]
+
+    def _grow_slot(self, slot: int, n_tokens: int) -> bool:
+        """Ensure pages for ``n_tokens``; True if the device tables need a
+        sync. Raises only if the request could NEVER fit."""
+        new = self.alloc.grow(slot, n_tokens, self._page_size)
+        for j, p in new:
+            self._pt_host[slot, j] = p
+        return bool(new)
+
+    def _release_slot_pages(self, slot: int):
+        self.alloc.release(slot)
+        self._pt_host[slot, :] = 0
+
+
+class ContinuousBatchingEngine(_PagedPoolOps):
     def __init__(self, model, max_slots: int = 8,
                  max_seq_len: Optional[int] = None,
                  scheduler: str = "auto", quantized_cache: bool = False,
@@ -470,39 +510,6 @@ class ContinuousBatchingEngine:
                                   top_k=topk, top_p=topp)[0]
         first_lp = token_logprob(last_logits[None], first_tok[None])[0]
         return first_tok, first_lp, new_caches
-
-    # ------------------------------------------------------- paged plumbing
-    def _sync_page_tables(self):
-        from dataclasses import replace as _rep
-
-        from qgemm_tpu.serving.paged_cache import build_step_tables
-        # ragged-grid step tables: rebuilt on the same event as the page
-        # tables (allocation changes), so the decode grid tracks the pages
-        # actually allocated instead of slots x pages_per_slot. The bucket
-        # rounds T up so jit sees few distinct shapes.
-        ss, sp = build_step_tables(
-            [len(p) for p in self.alloc.slot_pages],
-            self.caches[0].page_table.shape[1])
-        # one DISTINCT device array per layer: the decode step donates the
-        # cache pytree, and donating the same buffer L times makes XLA demote
-        # the duplicates (warning + a copy per step). The tables are tiny
-        # (slots x pages_per_slot int32) and sync only when they change.
-        self.caches = [_rep(c, page_table=jnp.asarray(self._pt_host),
-                            step_slot=jnp.asarray(ss),
-                            step_page=jnp.asarray(sp))
-                       for c in self.caches]
-
-    def _grow_slot(self, slot: int, n_tokens: int) -> bool:
-        """Ensure pages for ``n_tokens``; True if the device tables need a
-        sync. Raises only if the request could NEVER fit."""
-        new = self.alloc.grow(slot, n_tokens, self._page_size)
-        for j, p in new:
-            self._pt_host[slot, j] = p
-        return bool(new)
-
-    def _release_slot_pages(self, slot: int):
-        self.alloc.release(slot)
-        self._pt_host[slot, :] = 0
 
     # ---------------------------------------------------------------- admin
     def submit(self, req: Request):

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qgemm_tpu.serving.engine import Request, _PyBookkeeper
+from qgemm_tpu.serving.engine import Request, _PagedPoolOps, _PyBookkeeper
 
 
 class _Seq2SeqBookkeeper(_PyBookkeeper):
@@ -60,7 +60,7 @@ class _Seq2SeqBookkeeper(_PyBookkeeper):
         return slot, req
 
 
-class Seq2SeqEngine:
+class Seq2SeqEngine(_PagedPoolOps):
     """Continuous batching inference engine for ``models.transformer
     .Transformer``. API mirrors ``ContinuousBatchingEngine`` (submit /
     step / run_to_completion / cancel / stats)."""
@@ -69,12 +69,23 @@ class Seq2SeqEngine:
                  max_src_len: Optional[int] = None,
                  max_new_tokens: Optional[int] = None,
                  quantized_cache: bool = False, top_k: int = 0,
-                 seed: int = 0, bos_token: int = 1, mesh=None):
+                 seed: int = 0, bos_token: int = 1, mesh=None,
+                 paged: bool = False, n_pages: Optional[int] = None):
         """``mesh``: tensor-parallel serving — pass the mesh the model was
         sharded over (parallel.sharding.shard_quantized_model on a
         ``Transformer.with_tp`` model); the decoder self-caches AND the
         per-slot cross-attention K/V are head-sharded over its ``model``
-        axis to match the column-sharded projections."""
+        axis to match the column-sharded projections.
+        ``paged``: block-table DECODER self-cache (the growing one — it
+        holds BOS + every generated token, so its HBM scales with each
+        request's committed max_new_tokens instead of slots x engine
+        max_dec_len). The cross-attention K/V stay dense per-slot: they
+        are written once at admission, bounded by max_src_len, and never
+        grow — paging them would buy nothing (the GPT-engine prefix/
+        chunked admission tiers don't apply either: the decoder starts
+        from a single BOS token, there is no prompt to page, share or
+        chunk). ``n_pages`` sizes the pool (default full provisioning;
+        less = oversubscribe with admission backpressure)."""
         cfg = model.cfg
         self.model = model
         self.max_slots = max_slots
@@ -86,8 +97,25 @@ class Seq2SeqEngine:
         self._key = jax.random.PRNGKey(seed)
 
         self.book = _Seq2SeqBookkeeper(max_slots, self.max_dec_len)
-        self.caches = model.init_cache(max_slots, self.max_dec_len,
-                                       quantized=quantized_cache)
+        self.paged = paged
+        if paged:
+            from qgemm_tpu.serving.paged_cache import (PAGE_SIZE,
+                                                       PageAllocator,
+                                                       init_paged_cache)
+            pps = -(-self.max_dec_len // PAGE_SIZE)
+            self.max_dec_len = pps * PAGE_SIZE
+            self.book.max_seq_len = self.max_dec_len
+            npg = n_pages or (1 + max_slots * pps)
+            hkv_ = getattr(cfg, "n_kv_heads", 0) or cfg.n_heads
+            self._pt_host = np.zeros((max_slots, pps), np.int32)
+            self.caches = [init_paged_cache(
+                hkv_, cfg.d_model // cfg.n_heads, npg, max_slots, pps)
+                for _ in model.dec_blocks]
+            self.alloc = PageAllocator(npg, max_slots, pps)
+            self._page_size = PAGE_SIZE
+        else:
+            self.caches = model.init_cache(max_slots, self.max_dec_len,
+                                           quantized=quantized_cache)
         dh = cfg.d_model // cfg.n_heads
         hkv = getattr(cfg, "n_kv_heads", 0) or cfg.n_heads   # GQA: 1/g
         s_src = self.max_src_len
@@ -105,8 +133,13 @@ class Seq2SeqEngine:
             self.enc_kvs = [(zkv(), zkv()) for _ in model.dec_blocks]
         self.mesh = mesh
         if mesh is not None:
+            if paged:
+                from qgemm_tpu.parallel.sharding import shard_paged_caches
+                self.caches = shard_paged_caches(self.caches, mesh)
+            else:
+                from qgemm_tpu.parallel.sharding import shard_kv_caches
+                self.caches = shard_kv_caches(self.caches, mesh)
             from qgemm_tpu.parallel.sharding import shard_kv_caches
-            self.caches = shard_kv_caches(self.caches, mesh)
             # enc_kvs leaves are [slots, H, S_src, *] — same head-sharding
             self.enc_kvs = shard_kv_caches(self.enc_kvs, mesh)
         self.src_lens = jnp.zeros((max_slots,), jnp.int32)
@@ -124,6 +157,8 @@ class Seq2SeqEngine:
         # donate the self caches only (enc_kvs are read-only in decode)
         self._decode = jax.jit(self._decode_impl, donate_argnums=(3,))
         self._prefill = jax.jit(self._prefill_impl, static_argnames=("plen",))
+        self._prefill_paged = jax.jit(self._prefill_paged_impl,
+                                      static_argnames=("plen",))
 
     # ------------------------------------------------------------- jit fns
     def _decode_impl(self, model, tok, pos, caches, enc_kvs, src_lens,
@@ -137,13 +172,13 @@ class Seq2SeqEngine:
                             top_p=topps)
         return nxt, token_logprob(logits, nxt), caches
 
-    def _prefill_impl(self, model, src, src_len_true, caches, enc_kvs,
-                      slot, key, temp, topp, topk, plen):
-        """Admit one source: encode the bucket-padded source (masked), put
-        each layer's cross K/V into the slot's rows, run the BOS decode
-        step into the slot's (fresh) self-cache region, sample the first
-        token. ``plen`` is the static source bucket length."""
-        from qgemm_tpu.ops.sampling import sample_logits
+    def _encode_and_bos(self, model, src, src_len_true, enc_kvs, slot,
+                        plen, quantized_tmp):
+        """Shared admission front half: encode the bucket-padded source
+        (masked), put each layer's cross K/V into the slot's rows, run the
+        BOS decode step against a throwaway 1-slot self-cache. Returns
+        (logits, tmp caches holding BOS K/V at position 0, new enc_kvs,
+        mask)."""
         mask = (jnp.arange(plen)[None, :] < src_len_true)
         enc_out = model.encode(src, mask=mask)
         zero = jnp.zeros((), jnp.int32)
@@ -164,12 +199,21 @@ class Seq2SeqEngine:
                                              (slot, zero, zero, zero))
                 for dst, src in zip(layer_kv, parts)))
 
-        # BOS step with a throwaway 1-slot cache, scattered into the shared
-        # cache at the slot (same pattern as the GPT engine's prefill);
-        # cross-attends the freshly-computed [1, H, plen, Dh] K/V
-        tmp = model.init_cache(1, 1, quantized=self.quantized_cache)
+        tmp = model.init_cache(1, 1, quantized=quantized_tmp)
         bos = jnp.full((1, 1), self.bos_token, jnp.int32)
         logits, tmp = model.decode_logits(bos, 0, fresh, tmp, src_mask=mask)
+        return logits, tmp, new_enc_kvs, mask
+
+    def _prefill_impl(self, model, src, src_len_true, caches, enc_kvs,
+                      slot, key, temp, topp, topk, plen):
+        """Admit one source: encode + cross-KV scatter, then scatter the
+        BOS step's K/V into the slot's self-cache region (same pattern as
+        the GPT engine's prefill). ``plen`` is the static source bucket."""
+        from qgemm_tpu.ops.sampling import sample_logits, token_logprob
+        logits, tmp, new_enc_kvs, _ = self._encode_and_bos(
+            model, src, src_len_true, enc_kvs, slot, plen,
+            self.quantized_cache)
+        zero = jnp.zeros((), jnp.int32)
 
         def scatter(c_full, c_tmp):
             return jax.lax.dynamic_update_slice(
@@ -177,7 +221,32 @@ class Seq2SeqEngine:
 
         new_caches = [jax.tree.map(scatter, c, t)
                       for c, t in zip(caches, tmp)]
-        from qgemm_tpu.ops.sampling import token_logprob
+        first_tok = sample_logits(logits, key, temperature=temp,
+                                  top_k=topk, top_p=topp)
+        return first_tok[0], token_logprob(logits, first_tok)[0], \
+            new_caches, new_enc_kvs
+
+    def _prefill_paged_impl(self, model, src, src_len_true, caches,
+                            enc_kvs, slot, key, temp, topp, topk, plen):
+        """Paged admission: same front half, then write the BOS step's K/V
+        row into the slot's page 0 (paged_write_step on the slot's
+        page-table view — an elementwise scatter GSPMD partitions, no
+        shard_map needed here)."""
+        from dataclasses import replace as _rep
+
+        from qgemm_tpu.ops.sampling import sample_logits, token_logprob
+        from qgemm_tpu.serving.paged_cache import paged_write_step
+        logits, tmp, new_enc_kvs, _ = self._encode_and_bos(
+            model, src, src_len_true, enc_kvs, slot, plen, False)
+        new_caches = []
+        for c, t in zip(caches, tmp):
+            view = _rep(c, page_table=jax.lax.dynamic_slice_in_dim(
+                c.page_table, slot, 1, axis=0),
+                step_slot=None, step_page=None)
+            vw = paged_write_step(view, t[0], t[1],
+                                  jnp.zeros((1,), jnp.int32))
+            new_caches.append(_rep(c, kq=vw.kq, kc=vw.kc, vq=vw.vq,
+                                   vc=vw.vc))
         first_tok = sample_logits(logits, key, temperature=temp,
                                   top_k=topk, top_p=topp)
         return first_tok[0], token_logprob(logits, first_tok)[0], \
@@ -203,9 +272,41 @@ class Seq2SeqEngine:
             src = jnp.asarray(np.pad(
                 np.asarray(req.prompt, np.int32), (0, bucket - plen))[None, :])
             eff_topk = self.top_k if req.top_k is None else req.top_k
+            if self.paged:
+                def _unadmit():
+                    self.book.cancel(req.id)
+                    for r in self.book.drain_finished():
+                        if r.id != req.id:
+                            self.finished.append(r)
+
+                # reserve the request's worst case (BOS + max_new) eagerly
+                # so mid-decode growth can never exhaust the pool — same
+                # contract as the GPT paged engine
+                worst = min(1 + req.max_new_tokens, self.max_dec_len)
+                need = self.alloc.pages_needed(worst, self._page_size)
+                pool_cap = self.caches[0].n_pages - 1   # page 0 reserved
+                if need > min(self.alloc.pages_per_slot, pool_cap):
+                    req.error = (f"request needs {need} pages > "
+                                 f"{min(self.alloc.pages_per_slot, pool_cap)}"
+                                 " available per request")
+                    req.done = True
+                    _unadmit()
+                    self.finished.append(req)
+                    continue
+                if need > self.alloc.n_free:
+                    # backpressure: requeue at the front until finishing
+                    # requests release pages
+                    _unadmit()
+                    req.done = False
+                    self.book.submit(req, front=True)
+                    return
+                if self._grow_slot(slot, worst):
+                    self._sync_page_tables()
             try:
                 self._key, sub = jax.random.split(self._key)
-                first_tok, first_lp, self.caches, self.enc_kvs = self._prefill(
+                prefill_fn = (self._prefill_paged if self.paged
+                              else self._prefill)
+                first_tok, first_lp, self.caches, self.enc_kvs = prefill_fn(
                     self.model, src, jnp.int32(plen), self.caches,
                     self.enc_kvs, jnp.int32(slot), sub,
                     jnp.float32(req.temperature), jnp.float32(req.top_p),
@@ -214,6 +315,8 @@ class Seq2SeqEngine:
                 req.error = f"{type(e).__name__}: {e}"
                 req.done = True
                 self.book.cancel(req.id)
+                if self.paged:
+                    self._release_slot_pages(slot)
                 for r in self.book.drain_finished():
                     if r.id != req.id:
                         self.finished.append(r)
@@ -242,6 +345,8 @@ class Seq2SeqEngine:
             self.finished.append(info)
         else:
             self._lp_slots.pop(info, None)   # drop a stale logprobs sub
+            if self.paged:
+                self._release_slot_pages(info)
             for r in self.book.drain_finished():
                 r.done = True
                 if r.id == req_id:
@@ -258,10 +363,15 @@ class Seq2SeqEngine:
     def stats(self) -> Dict[str, float]:
         import time
         wall = (time.perf_counter() - self._t_start) if self._t_start else 0.0
-        return {"tokens_generated": self.tokens_generated,
-                "steps": int(self.steps), "wall_s": round(wall, 3),
-                "tokens_per_s": round(self.tokens_generated / wall, 2)
-                if wall else 0.0}
+        st = {"tokens_generated": self.tokens_generated,
+              "steps": int(self.steps), "wall_s": round(wall, 3),
+              "tokens_per_s": round(self.tokens_generated / wall, 2)
+              if wall else 0.0}
+        if self.paged:
+            total = self.caches[0].n_pages - 1      # page 0 reserved
+            st["pages_in_use"] = total - self.alloc.n_free
+            st["pages_total"] = total
+        return st
 
     def step(self):
         import time
@@ -271,6 +381,16 @@ class Seq2SeqEngine:
         active = self.book.active_mask()
         if not active.any():
             return False
+        if self.paged:
+            # ensure every active slot has a page for the position this
+            # decode step writes (reservation at admission means this can
+            # only grow within the committed worst case)
+            pos_host = np.asarray(self.positions)
+            dirty = False
+            for slot in np.flatnonzero(active):
+                dirty |= self._grow_slot(int(slot), int(pos_host[slot]) + 1)
+            if dirty:
+                self._sync_page_tables()
         self._key, sub = jax.random.split(self._key)
         try:
             nxt, lps, self.caches = self._decode(
@@ -294,6 +414,8 @@ class Seq2SeqEngine:
         self.tokens_generated += int(active.sum())
         for slot in np.flatnonzero(active & ~self.book.active_mask()):
             self._lp_slots.pop(int(slot), None)
+            if self.paged:
+                self._release_slot_pages(int(slot))
         self.finished.extend(self.book.drain_finished())
         return True
 
@@ -305,9 +427,22 @@ class Seq2SeqEngine:
             if req is not None:
                 req.error = msg
                 self.book.cancel(req.id)
+            if self.paged:
+                self._release_slot_pages(int(slot))
         self.finished.extend(self.book.drain_finished())
-        self.caches = self.model.init_cache(self.max_slots, self.max_dec_len,
-                                            quantized=self.quantized_cache)
+        if self.paged:
+            # rebuild the pool arrays — the old ones were donated into the
+            # failed step (page release above emptied the allocator)
+            from qgemm_tpu.serving.paged_cache import init_paged_cache
+            tmpl = self.caches[0]
+            self.caches = [init_paged_cache(
+                tmpl.kq.shape[1], tmpl.kq.shape[3], tmpl.n_pages,
+                self.max_slots, tmpl.page_table.shape[1])
+                for _ in self.model.dec_blocks]
+        else:
+            self.caches = self.model.init_cache(
+                self.max_slots, self.max_dec_len,
+                quantized=self.quantized_cache)
         # enc_kvs were NOT donated, but rebuild them too: their per-slot
         # rows belonged to the requests just failed
         self.enc_kvs = [tuple(jnp.ones_like(a)      # absmax scales -> 1
@@ -315,8 +450,11 @@ class Seq2SeqEngine:
                               else jnp.zeros_like(a)
                               for a in layer) for layer in self.enc_kvs]
         if self.mesh is not None:
-            from qgemm_tpu.parallel.sharding import shard_kv_caches
-            self.caches = shard_kv_caches(self.caches, self.mesh)
+            from qgemm_tpu.parallel.sharding import (shard_kv_caches,
+                                                     shard_paged_caches)
+            self.caches = (shard_paged_caches(self.caches, self.mesh)
+                           if self.paged
+                           else shard_kv_caches(self.caches, self.mesh))
             self.enc_kvs = shard_kv_caches(self.enc_kvs, self.mesh)
         self.positions = jnp.zeros((self.max_slots,), jnp.int32)
         self.cur_tokens = jnp.zeros((self.max_slots, 1), jnp.int32)

@@ -313,3 +313,83 @@ def test_engine_logprobs():
         lg = model.forward(jnp.asarray([toks[:3 + i]]))[0, -1]
         lpd = jax.nn.log_softmax(lg.astype(jnp.float32))
         assert abs(float(lpd.max()) - got.token_logprobs[i]) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# composition pins (r3 verdict #7: "everything composes" claims, tested)
+# ---------------------------------------------------------------------------
+
+def test_w4a8_paged_engine_matches_dense():
+    """W4A8 weights x paged int8 KV cache: transcripts match the dense-
+    cache engine on the same w4 model (weights and cache orthogonal)."""
+    cfg = GPTConfig(vocab_size=97, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=2, max_seq_len=512)
+    m4 = GPT.init(cfg, key=jax.random.PRNGKey(61)).quantize(bits=4)
+
+    def run(**kw):
+        eng = ContinuousBatchingEngine(m4, max_slots=2, **kw)
+        reqs = [Request(prompt=[1 + i] * (100 + i), max_new_tokens=6)
+                for i in range(3)]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=60)}
+        return [(tuple(fin[r.id].generated), fin[r.id].error) for r in reqs]
+
+    paged = run(paged=True)
+    dense = run()
+    assert all(e is None for _, e in paged), paged
+    assert paged == dense
+
+
+def test_w4a8_paged_tp_engine_matches_single_device():
+    """W4A8 x paged x TP: the full composite — int4 shard_map kernels,
+    head-sharded pools, paged decode inside shard_map — matches the
+    single-device W4A8 paged engine."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from qgemm_tpu.parallel.mesh import make_mesh
+    from qgemm_tpu.parallel.sharding import shard_quantized_model
+
+    cfg = GPTConfig(vocab_size=97, d_model=64, n_heads=4, d_ff=128,
+                    n_layers=2, max_seq_len=512)
+    m4 = GPT.init(cfg, key=jax.random.PRNGKey(62)).quantize(bits=4)
+    mesh = make_mesh((2, 4), ("data", "model"))
+    m4s = shard_quantized_model(m4, mesh)
+
+    def run(model, **kw):
+        eng = ContinuousBatchingEngine(model, max_slots=2, paged=True, **kw)
+        reqs = [Request(prompt=[3 + i] * 140, max_new_tokens=5)
+                for i in range(3)]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=60)}
+        return [(tuple(fin[r.id].generated), fin[r.id].error) for r in reqs]
+
+    tp = run(m4s, mesh=mesh)
+    sd = run(m4)
+    assert all(e is None for _, e in tp), tp
+    assert tp == sd
+
+
+def test_gqa_chunked_dense_prefill_matches_bucketed():
+    """GQA x chunked dense prefill: the chunk program writes the grouped
+    (n_kv_heads) cache correctly — transcripts match one-shot bucketed
+    admission."""
+    cfg = GPTConfig(vocab_size=97, d_model=32, n_heads=4, n_kv_heads=2,
+                    d_ff=64, n_layers=2, max_seq_len=128)
+    model = GPT.init(cfg, key=jax.random.PRNGKey(63))
+    prompts = [list(range(1, 40)), list(range(50, 68)), [5, 6, 7]]
+
+    def run(**kw):
+        eng = ContinuousBatchingEngine(model, max_slots=2, **kw)
+        reqs = [Request(prompt=p, max_new_tokens=4) for p in prompts]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=40)}
+        return [(tuple(fin[r.id].generated), fin[r.id].error) for r in reqs]
+
+    chunked = run(chunked_prefill=16)
+    ref = run()
+    assert all(e is None for _, e in chunked), chunked
+    assert chunked == ref

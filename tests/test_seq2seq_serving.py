@@ -241,3 +241,114 @@ def test_seq2seq_decode_fault_recovery():
     eng.submit(after)
     fin = {r.id: r for r in eng.run_to_completion(max_steps=40)}
     assert len(fin[after.id].generated) == 4 and fin[after.id].error is None
+
+
+# ---------------------------------------------------------------------------
+# paged decoder self-cache (r3 verdict #5: GPT-engine paged tier parity)
+# ---------------------------------------------------------------------------
+
+def test_paged_seq2seq_matches_dense_engine():
+    """Paged decoder self-cache: same sources, same transcripts as the
+    dense engine, pages released at the end."""
+    model = _model(seed=31)
+
+    def run(**kw):
+        eng = Seq2SeqEngine(model, max_slots=3, max_new_tokens=140, **kw)
+        reqs = [Request(prompt=[3 + i, 4, 5], max_new_tokens=n)
+                for i, n in enumerate((6, 130, 20, 9))]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=400)}
+        return eng, [(tuple(fin[r.id].generated), fin[r.id].error)
+                     for r in reqs]
+
+    eng_p, paged = run(paged=True)
+    _, dense = run()
+    assert all(e is None for _, e in paged), paged
+    assert paged == dense
+    st = eng_p.stats
+    assert st["pages_in_use"] == 0
+    assert st["pages_total"] >= 3
+
+
+def test_paged_seq2seq_oversubscribed_backpressure():
+    """A pool smaller than slots x max_dec_len still serves everything:
+    admissions wait for pages instead of failing (max_new 130 needs 2
+    pages; 3 slots want 6, pool has 4)."""
+    model = _model(seed=32)
+    eng = Seq2SeqEngine(model, max_slots=3, max_new_tokens=140, paged=True,
+                        n_pages=5)
+    for i in range(5):
+        eng.submit(Request(prompt=[2 + i, 3], max_new_tokens=130))
+    fin = eng.run_to_completion(max_steps=1000)
+    assert len(fin) == 5
+    assert all(len(r.generated) == 130 and r.error is None for r in fin)
+
+
+def test_paged_seq2seq_cancel_releases_pages():
+    model = _model(seed=33)
+    eng = Seq2SeqEngine(model, max_slots=2, max_new_tokens=140, paged=True)
+    reqs = [Request(prompt=[5 + i] * 3, max_new_tokens=130)
+            for i in range(2)]
+    for r in reqs:
+        eng.submit(r)
+    eng.step()
+    used = eng.stats["pages_in_use"]
+    assert used >= 4                       # 2 slots x 2 reserved pages
+    assert eng.cancel(reqs[0].id)
+    assert eng.stats["pages_in_use"] < used
+    fin = {r.id: r for r in eng.run_to_completion(max_steps=300)}
+    assert fin[reqs[0].id].cancelled
+    assert len(fin[reqs[1].id].generated) == 130
+
+
+def test_paged_seq2seq_under_mesh_matches_single_device():
+    """Paged seq2seq + TP: head-sharded pools, the paged decode runs
+    inside shard_map, transcripts match the single-device paged engine."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from qgemm_tpu.parallel.mesh import make_mesh
+    from qgemm_tpu.parallel.sharding import shard_quantized_model
+
+    cfg = TransformerConfig(vocab_size=89, d_model=32, n_heads=8,
+                            d_ff=64, n_layers=2, max_seq_len=64)
+    qm = Transformer.init(cfg, key=jax.random.PRNGKey(34)).quantize()
+    mesh = make_mesh((2, 4), ("data", "model"))
+    qms = shard_quantized_model(qm, mesh)
+
+    def transcripts(model, **kw):
+        eng = Seq2SeqEngine(model, max_slots=2, max_new_tokens=16,
+                            paged=True, **kw)
+        for src in ([3, 4, 5], [6, 7, 8, 9]):
+            eng.submit(Request(prompt=src, max_new_tokens=5))
+        return [tuple(r.generated)
+                for r in sorted(eng.run_to_completion(max_steps=60),
+                                key=lambda r: r.id)]
+
+    assert transcripts(qm) == transcripts(qms, mesh=mesh)
+
+
+def test_paged_seq2seq_decode_fault_recovery():
+    """A poisoned paged decode step fails in-flight requests, rebuilds the
+    pools, and the engine keeps serving new submissions."""
+    model = _model(seed=35)
+    eng = Seq2SeqEngine(model, max_slots=2, max_new_tokens=140, paged=True)
+    r1 = Request(prompt=[4, 5, 6], max_new_tokens=8)
+    eng.submit(r1)
+    eng.step()
+
+    real_decode = eng._decode
+
+    def boom(*a, **k):
+        raise RuntimeError("injected decode fault")
+
+    eng._decode = boom
+    eng.step()                              # fails + recovers
+    eng._decode = real_decode
+    assert r1.error and "injected" in r1.error
+    assert eng.stats["pages_in_use"] == 0
+    r2 = Request(prompt=[7, 8], max_new_tokens=5)
+    eng.submit(r2)
+    fin = {r.id: r for r in eng.run_to_completion(max_steps=60)}
+    assert fin[r2.id].error is None and len(fin[r2.id].generated) == 5
