@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Trained-model quantization quality table (r3 verdict #4: random-weight
+relative error says nothing about what quantization does to a model that
+actually computes something — the LLM.int8() claim the whole scheme
+serves, reference README.md:26, is about preserved MODEL quality).
+
+Trains one GPT on the induction task (examples/train_gpt_lm.train_model),
+then evaluates the SAME checkpoint at every serving precision the
+framework offers — f32, bf16 weights, int8 (absmax vector-wise), int8 +
+outlier decomposition, W4A8 (int4 group-128 weights), W4A8 + outliers —
+on held-out loss and copy-half next-token accuracy.
+
+Usage: python scripts/quant_quality_eval.py [--steps 300] [--layers 16]
+"""
+
+import argparse
+import json
+import sys
+
+import os as _os
+sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def to_bf16(model):
+    return jax.tree_util.tree_map(
+        lambda l: l.astype(jnp.bfloat16)
+        if hasattr(l, "dtype") and l.dtype == jnp.float32 else l, model)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--seq-len", type=int, default=128)
+    ap.add_argument("--vocab", type=int, default=64)
+    ap.add_argument("--d-model", type=int, default=512)
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--d-ff", type=int, default=2048)
+    ap.add_argument("--layers", type=int, default=6)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    args = ap.parse_args()
+
+    from examples.train_gpt_lm import heldout_eval, train_model
+
+    log(f"training target ({args.layers}L d{args.d_model})...")
+    model, st = train_model(
+        steps=args.steps, batch=16, seq_len=args.seq_len, vocab=args.vocab,
+        d_model=args.d_model, n_heads=args.heads, d_ff=args.d_ff,
+        n_layers=args.layers, lr=args.lr, seed=0, log=log)
+    log(f"trained: held-out loss {st['heldout_loss']:.4f} "
+        f"acc {st['heldout_acc']:.4f}")
+
+    variants = [
+        ("f32", lambda m: m),
+        ("bf16", to_bf16),
+        ("int8", lambda m: m.quantize()),
+        ("int8+outliers", lambda m: m.quantize(outlier_threshold=6.0)),
+        ("w4a8", lambda m: m.quantize(bits=4)),
+        ("w4a8+outliers", lambda m: m.quantize(bits=4,
+                                               outlier_threshold=6.0)),
+    ]
+    rows = []
+    for name, fn in variants:
+        loss, acc = heldout_eval(fn(model), args.seq_len, args.vocab)
+        log(f"{name:>14}: held-out loss {loss:.4f}  copy acc {acc:.4f}")
+        rows.append({"variant": name, "heldout_loss": round(loss, 4),
+                     "copy_acc": round(acc, 4)})
+
+    f32 = rows[0]
+    print(json.dumps({
+        "metric": "int8_copy_acc_delta_vs_f32",
+        "value": round(rows[2]["copy_acc"] - f32["copy_acc"], 4),
+        "unit": "accuracy", "rows": rows,
+        "train": {k: round(v, 4) for k, v in st.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()
