@@ -44,15 +44,33 @@ def main():
     ap.add_argument("--d-ff", type=int, default=2048)
     ap.add_argument("--layers", type=int, default=6)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--ckpt", default="/tmp/qgemm_spec_ckpt/target_6l_d512.npz",
+                    help="load this trained checkpoint instead of training "
+                         "(must match the model args); '' forces training")
     args = ap.parse_args()
 
     from examples.train_gpt_lm import heldout_eval, train_model
 
-    log(f"training target ({args.layers}L d{args.d_model})...")
-    model, st = train_model(
-        steps=args.steps, batch=16, seq_len=args.seq_len, vocab=args.vocab,
-        d_model=args.d_model, n_heads=args.heads, d_ff=args.d_ff,
-        n_layers=args.layers, lr=args.lr, seed=0, log=log)
+    if args.ckpt and _os.path.exists(args.ckpt):
+        from qgemm_tpu.models.gpt import GPT, GPTConfig
+        from qgemm_tpu.utils.checkpoint import load_checkpoint
+        log(f"loading trained target from {args.ckpt}")
+        cfg = GPTConfig(vocab_size=args.vocab, d_model=args.d_model,
+                        n_heads=args.heads, d_ff=args.d_ff,
+                        n_layers=args.layers,
+                        max_seq_len=args.seq_len + 72)
+        model = load_checkpoint(args.ckpt,
+                                GPT.init(cfg, key=jax.random.PRNGKey(0)))
+        hl, acc = heldout_eval(model, args.seq_len, args.vocab)
+        st = {"heldout_loss": hl, "heldout_acc": acc,
+              "loss_first": -1.0, "loss_last": -1.0}
+    else:
+        log(f"training target ({args.layers}L d{args.d_model})...")
+        model, st = train_model(
+            steps=args.steps, batch=16, seq_len=args.seq_len,
+            vocab=args.vocab, d_model=args.d_model, n_heads=args.heads,
+            d_ff=args.d_ff, n_layers=args.layers, lr=args.lr, seed=0,
+            log=log)
     log(f"trained: held-out loss {st['heldout_loss']:.4f} "
         f"acc {st['heldout_acc']:.4f}")
 
@@ -65,12 +83,29 @@ def main():
         ("w4a8+outliers", lambda m: m.quantize(bits=4,
                                                outlier_threshold=6.0)),
     ]
+    # mean KL(f32 || variant) over held-out positions: far more
+    # discriminative than loss/accuracy once the model saturates the task
+    # (every variant can be at acc 1.0 while their distributions drift)
+    from examples.train_gpt_lm import batch_iter
+    test = next(batch_iter(jax.random.PRNGKey(7), 64, args.seq_len,
+                           args.vocab))
+    fwd = jax.jit(lambda m, s: m.forward(s[:, :-1]))
+    ref_lp = jax.nn.log_softmax(
+        jnp.asarray(fwd(model, test), jnp.float32), axis=-1)
+
     rows = []
     for name, fn in variants:
-        loss, acc = heldout_eval(fn(model), args.seq_len, args.vocab)
-        log(f"{name:>14}: held-out loss {loss:.4f}  copy acc {acc:.4f}")
+        v = fn(model)
+        loss, acc = heldout_eval(v, args.seq_len, args.vocab)
+        lp = jax.nn.log_softmax(jnp.asarray(fwd(v, test), jnp.float32),
+                                axis=-1)
+        kl = float(jnp.mean(jnp.sum(jnp.exp(ref_lp) * (ref_lp - lp),
+                                    axis=-1)))
+        log(f"{name:>14}: held-out loss {loss:.4f}  copy acc {acc:.4f}  "
+            f"KL(f32||v) {kl:.3e}")
         rows.append({"variant": name, "heldout_loss": round(loss, 4),
-                     "copy_acc": round(acc, 4)})
+                     "copy_acc": round(acc, 4),
+                     "kl_vs_f32": round(kl, 8)})
 
     f32 = rows[0]
     print(json.dumps({
