@@ -123,6 +123,22 @@ def run_dryrun(n_devices: int) -> None:
     assert all(len(r.generated) == 3 for r in pfin)
     assert peng.alloc.prefix_hits >= 1, "prefix map never fired under TP"
 
+    # --- paged seq2seq engine under TP (r4) --------------------------------
+    from qgemm_tpu.serving.seq2seq import Seq2SeqEngine
+    s2s_cfg = TransformerConfig(vocab_size=64, d_model=8 * model_par,
+                                n_heads=model_par, d_ff=16 * model_par,
+                                n_layers=2, max_seq_len=160)
+    s2s = Transformer.init(s2s_cfg, key=jax.random.PRNGKey(23)).quantize()
+    from qgemm_tpu.parallel.sharding import shard_quantized_model as _sqm
+    s2s_sharded = _sqm(s2s, mesh)
+    seng = Seq2SeqEngine(s2s_sharded, max_slots=2, max_new_tokens=140,
+                         mesh=mesh, paged=True)
+    seng.submit(Request(prompt=[3, 4, 5], max_new_tokens=130))  # 2 pages
+    sfin = seng.run_to_completion(max_steps=200)
+    assert len(sfin) == 1 and sfin[0].error is None, sfin[0].error
+    assert len(sfin[0].generated) == 130
+    assert seng.stats["pages_in_use"] == 0
+
     # --- all-to-all expert parallelism (r3) --------------------------------
     from qgemm_tpu.models.moe import MoEFeedForward
     from qgemm_tpu.parallel.expert import ep_moe_forward_a2a, shard_moe

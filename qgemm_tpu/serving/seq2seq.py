@@ -153,6 +153,7 @@ class Seq2SeqEngine(_PagedPoolOps):
         self.tokens_generated = 0
         self._t_start = None
         self._lp_slots: Dict[int, Request] = {}
+        self._admit_times: List[float] = []
 
         # donate the self caches only (enc_kvs are read-only in decode)
         self._decode = jax.jit(self._decode_impl, donate_argnums=(3,))
@@ -302,6 +303,8 @@ class Seq2SeqEngine(_PagedPoolOps):
                     return
                 if self._grow_slot(slot, worst):
                     self._sync_page_tables()
+            import time as _time
+            t_adm = _time.perf_counter()
             try:
                 self._key, sub = jax.random.split(self._key)
                 prefill_fn = (self._prefill_paged if self.paged
@@ -333,6 +336,7 @@ class Seq2SeqEngine(_PagedPoolOps):
                 req.token_logprobs.append(float(first_lp))
                 self._lp_slots[slot] = req
             self.book.admitted(slot, int(first_tok))
+            self._admit_times.append(_time.perf_counter() - t_adm)
 
     def cancel(self, req_id: int) -> bool:
         res = self.book.cancel(req_id)
@@ -367,6 +371,11 @@ class Seq2SeqEngine(_PagedPoolOps):
               "steps": int(self.steps), "wall_s": round(wall, 3),
               "tokens_per_s": round(self.tokens_generated / wall, 2)
               if wall else 0.0}
+        if self._admit_times:
+            at = np.sort(np.asarray(self._admit_times))
+            st["admit_p50_ms"] = round(float(np.percentile(at, 50)) * 1e3, 2)
+            st["admit_p95_ms"] = round(float(np.percentile(at, 95)) * 1e3, 2)
+            st["admissions"] = len(at)
         if self.paged:
             total = self.caches[0].n_pages - 1      # page 0 reserved
             st["pages_in_use"] = total - self.alloc.n_free
