@@ -212,7 +212,8 @@ class GPT:
         if getattr(pos, "ndim", 0) == 1:
             # per-slot positions: gather each slot's own positional encoding
             emb = jnp.take(self.embed.table, tok, axis=0, mode="clip")
-            x = emb + jnp.take(self.embed.pos, pos, axis=0)[:, None, :]
+            x = emb + jnp.take(self.embed.pos, pos, axis=0,
+                               mode="clip")[:, None, :]
         else:
             x = self.embed(tok, offset=pos)
         new_caches = []

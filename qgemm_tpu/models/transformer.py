@@ -300,7 +300,8 @@ class Transformer:
         encoder positions for ragged source batches."""
         if getattr(pos, "ndim", 0) == 1:
             emb = jnp.take(self.embed.table, tok, axis=0, mode="clip")
-            x = emb + jnp.take(self.embed.pos, pos, axis=0)[:, None, :]
+            x = emb + jnp.take(self.embed.pos, pos, axis=0,
+                               mode="clip")[:, None, :]
         else:
             x = self.embed(tok, offset=pos)
         new_caches = []

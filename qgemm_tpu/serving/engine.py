@@ -267,6 +267,30 @@ class _PagedPoolOps:
         self.alloc.release(slot)
         self._pt_host[slot, :] = 0
 
+    def _grow_active_slots(self, active, positions):
+        """Per decode step: ensure every active slot has a page for the
+        position this step writes; sync device tables if any grew."""
+        pos_host = np.asarray(positions)
+        dirty = False
+        for slot in np.flatnonzero(active):
+            dirty |= self._grow_slot(int(slot), int(pos_host[slot]) + 1)
+        if dirty:
+            self._sync_page_tables()
+
+    def _stats_common(self, st):
+        """Admission-latency percentiles + page-pool occupancy, shared by
+        both engines' ``stats``."""
+        if self._admit_times:
+            at = np.asarray(self._admit_times)
+            st["admit_p50_ms"] = round(float(np.percentile(at, 50)) * 1e3, 2)
+            st["admit_p95_ms"] = round(float(np.percentile(at, 95)) * 1e3, 2)
+            st["admissions"] = len(at)
+        if self.paged:
+            total = self.caches[0].n_pages - 1      # page 0 reserved
+            st["pages_in_use"] = total - self.alloc.n_free
+            st["pages_total"] = total
+        return st
+
 
 class ContinuousBatchingEngine(_PagedPoolOps):
     def __init__(self, model, max_slots: int = 8,
@@ -622,8 +646,22 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                     first_tok, first_lp, self.caches = self._admit_chunked(
                         req, slot, plen, sub, eff_topk)
                 else:
-                    # skip_pages is 0 whenever prefix_cache is off/missed
-                    if (self.paged and self._paged_chunk
+                    # skip_pages is 0 whenever prefix_cache is off/missed.
+                    # The fixed-size tail padding must also FIT the slot's
+                    # page table (review r4: a padded extent one page past
+                    # the table width would clamp-gather onto the LAST
+                    # logical page and overwrite real prompt K/V with
+                    # padding junk) — otherwise fall through to the
+                    # non-chunked paths, whose page-aligned buckets never
+                    # overflow.
+                    chunk_fits = False
+                    if self.paged and self._paged_chunk:
+                        rem = plen - skip_pages * ps
+                        n_ch = -(-rem // self._paged_chunk)
+                        chunk_fits = (skip_pages * ps
+                                      + n_ch * self._paged_chunk
+                                      <= self._pt_host.shape[1] * ps)
+                    if (self.paged and self._paged_chunk and chunk_fits
                             and plen - skip_pages * ps > self._paged_chunk):
                         first_tok, first_lp, self.caches = \
                             self._admit_paged_chunked(
@@ -790,15 +828,8 @@ class ContinuousBatchingEngine(_PagedPoolOps):
               "steps": int(self.steps), "wall_s": round(wall, 3),
               "tokens_per_s": round(self.tokens_generated / wall, 2)
               if wall else 0.0}
-        if self._admit_times:
-            at = np.sort(np.asarray(self._admit_times))
-            st["admit_p50_ms"] = round(float(np.percentile(at, 50)) * 1e3, 2)
-            st["admit_p95_ms"] = round(float(np.percentile(at, 95)) * 1e3, 2)
-            st["admissions"] = len(at)
+        self._stats_common(st)
         if self.paged:
-            total = self.caches[0].n_pages - 1      # page 0 reserved
-            st["pages_in_use"] = total - self.alloc.n_free
-            st["pages_total"] = total
             st["prefix_hits"] = self.alloc.prefix_hits
             st["prefix_cached_pages"] = len(self.alloc.cached)
             st["prefill_tokens_skipped"] = self.prefill_tokens_skipped
@@ -814,16 +845,10 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         if not active.any():
             return False
         if self.paged:
-            # ensure every active slot has a page for the position this
-            # decode step writes (pool exhaustion here raises — size the
-            # pool for the expected resident tokens, or lower max_slots;
-            # the admission path already applies queue backpressure)
-            pos_host = np.asarray(self.positions)
-            dirty = False
-            for slot in np.flatnonzero(active):
-                dirty |= self._grow_slot(int(slot), int(pos_host[slot]) + 1)
-            if dirty:
-                self._sync_page_tables()
+            # pool exhaustion here raises — size the pool for the expected
+            # resident tokens, or lower max_slots; the admission path
+            # already applies queue backpressure
+            self._grow_active_slots(active, self.positions)
         self._key, sub = jax.random.split(self._key)
         try:
             nxt, lps, self.caches = self._decode(self.model, self.cur_tokens,

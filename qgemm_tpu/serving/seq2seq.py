@@ -102,9 +102,13 @@ class Seq2SeqEngine(_PagedPoolOps):
             from qgemm_tpu.serving.paged_cache import (PAGE_SIZE,
                                                        PageAllocator,
                                                        init_paged_cache)
+            # page capacity rounds UP to whole pages, but the bookkeeper's
+            # request-validation limit must NOT widen with it: positions
+            # past the configured decoder budget would run off the model's
+            # positional table (review r4 finding — the dense mode rejects
+            # the same request)
             pps = -(-self.max_dec_len // PAGE_SIZE)
             self.max_dec_len = pps * PAGE_SIZE
-            self.book.max_seq_len = self.max_dec_len
             npg = n_pages or (1 + max_slots * pps)
             hkv_ = getattr(cfg, "n_kv_heads", 0) or cfg.n_heads
             self._pt_host = np.zeros((max_slots, pps), np.int32)
@@ -371,16 +375,7 @@ class Seq2SeqEngine(_PagedPoolOps):
               "steps": int(self.steps), "wall_s": round(wall, 3),
               "tokens_per_s": round(self.tokens_generated / wall, 2)
               if wall else 0.0}
-        if self._admit_times:
-            at = np.sort(np.asarray(self._admit_times))
-            st["admit_p50_ms"] = round(float(np.percentile(at, 50)) * 1e3, 2)
-            st["admit_p95_ms"] = round(float(np.percentile(at, 95)) * 1e3, 2)
-            st["admissions"] = len(at)
-        if self.paged:
-            total = self.caches[0].n_pages - 1      # page 0 reserved
-            st["pages_in_use"] = total - self.alloc.n_free
-            st["pages_total"] = total
-        return st
+        return self._stats_common(st)
 
     def step(self):
         import time
@@ -391,15 +386,9 @@ class Seq2SeqEngine(_PagedPoolOps):
         if not active.any():
             return False
         if self.paged:
-            # ensure every active slot has a page for the position this
-            # decode step writes (reservation at admission means this can
-            # only grow within the committed worst case)
-            pos_host = np.asarray(self.positions)
-            dirty = False
-            for slot in np.flatnonzero(active):
-                dirty |= self._grow_slot(int(slot), int(pos_host[slot]) + 1)
-            if dirty:
-                self._sync_page_tables()
+            # reservation at admission means this can only grow within the
+            # committed worst case
+            self._grow_active_slots(active, self.positions)
         self._key, sub = jax.random.split(self._key)
         try:
             nxt, lps, self.caches = self._decode(

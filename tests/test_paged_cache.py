@@ -603,3 +603,27 @@ def test_prefix_cache_compute_skip():
     # the second admission skipped the 2 shared prompt pages entirely
     assert eng.stats["prefill_tokens_skipped"] == 256
     assert eng.alloc.prefix_hits >= 2
+
+
+def test_paged_chunked_tail_padding_never_overflows_table():
+    """Review r4: a fixed-size tail chunk whose padding would extend past
+    the slot's page-table width must fall back to the non-chunked
+    admission (whose page-aligned bucket always fits) instead of
+    clamp-writing padding junk over the last real prompt page."""
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+
+    model = _gpt(46, max_seq_len=640)       # 5 pages per slot
+    prompt = [(7 + j) % 97 for j in range(620)]
+
+    def run(**kw):
+        eng = ContinuousBatchingEngine(model, max_slots=1, paged=True, **kw)
+        r = Request(prompt=prompt, max_new_tokens=8)
+        eng.submit(r)
+        eng.run_to_completion(max_steps=40)
+        return tuple(r.generated), r.error
+
+    # chunk = 384 -> padded extent 768 = 6 pages > 5-page table
+    chunked = run(chunked_prefill=384)
+    ref = run()
+    assert chunked[1] is None, chunked
+    assert chunked == ref

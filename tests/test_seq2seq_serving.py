@@ -352,3 +352,19 @@ def test_paged_seq2seq_decode_fault_recovery():
     eng.submit(r2)
     fin = {r.id: r for r in eng.run_to_completion(max_steps=60)}
     assert fin[r2.id].error is None and len(fin[r2.id].generated) == 5
+
+
+def test_paged_seq2seq_keeps_decoder_budget_validation():
+    """Review r4: page-capacity rounding must not widen the bookkeeper's
+    request validation — a max_new_tokens past the configured decoder
+    budget is rejected exactly as in dense mode (positions beyond the
+    model's positional table would otherwise decode garbage)."""
+    import pytest
+    model = _model(seed=36)
+    eng = Seq2SeqEngine(model, max_slots=2, max_new_tokens=40, paged=True)
+    with pytest.raises(ValueError, match="exceeds decoder budget"):
+        eng.submit(Request(prompt=[3, 4], max_new_tokens=120))
+    eng.submit(Request(prompt=[3, 4], max_new_tokens=40))   # at the limit
+    fin = eng.run_to_completion(max_steps=80)
+    assert len(fin) == 1 and fin[0].error is None
+    assert len(fin[0].generated) == 40
