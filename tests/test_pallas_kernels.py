@@ -137,3 +137,35 @@ def test_flash_attention_grad_through_module():
     ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(got, ref):
         assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# int8 flash attention (quantized-GEMM attention, r4)
+# ---------------------------------------------------------------------------
+
+def test_int8_flash_attention_matches_reference():
+    """Quantized flash attention tracks the f32 reference within int8
+    rounding (~1e-2) — causal and full, incl. a K distribution with a
+    large per-channel mean (the smoothing case: without mean removal the
+    int8 grid would be eaten by the offset)."""
+    from qgemm_tpu.ops.pallas.flash_attention import _reference_attention
+    from qgemm_tpu.ops.pallas.int8_flash_attention import \
+        flash_attention_int8
+
+    rng = np.random.default_rng(5)
+    b, h, s, d = 1, 2, 256, 64
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    for causal in (False, True):
+        ref = _reference_attention(q, k, v, causal)
+        got = flash_attention_int8(q, k, v, causal)
+        err = float(jnp.max(jnp.abs(got - ref)))
+        assert err < 5e-2, (causal, err)
+
+    # heavy per-channel K mean: smoothing keeps accuracy
+    k_off = k + jnp.asarray(rng.normal(size=(1, 1, 1, d)) * 8.0,
+                            jnp.float32)
+    ref = _reference_attention(q, k_off, v, True)
+    got = flash_attention_int8(q, k_off, v, True)
+    assert float(jnp.max(jnp.abs(got - ref))) < 5e-2
