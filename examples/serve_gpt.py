@@ -18,6 +18,14 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# a sitecustomize boot hook may pre-import jax and pin a remote platform
+# before env vars are read — honor JAX_PLATFORMS explicitly so
+# `JAX_PLATFORMS=cpu python examples/serve_gpt.py --tp 8` works with the
+# virtual CPU mesh (tests/conftest.py does the same)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 from qgemm_tpu.models.gpt import GPT, GPTConfig

@@ -270,6 +270,50 @@ def main():
     assert ncf >= n_layers, f"TP forward HLO has {ncf} pallas custom-calls"
     results["tp_flash_custom_calls"] = ncf
 
+    # 7. int8 flash attention parity on the real MXU (the quantized-
+    #    attention option — measured slower than bf16 flash on v5e,
+    #    SOL.md, but it must stay CORRECT)
+    from qgemm_tpu.ops.pallas.flash_attention import _reference_attention
+    from qgemm_tpu.ops.pallas.int8_flash_attention import \
+        flash_attention_int8
+    qa = jnp.asarray(rng.normal(size=(1, 2, 512, 64)), jnp.float32)
+    ka = jnp.asarray(rng.normal(size=(1, 2, 512, 64)), jnp.float32)
+    va = jnp.asarray(rng.normal(size=(1, 2, 512, 64)), jnp.float32)
+    ref8 = _reference_attention(qa, ka, va, True)
+    for qk_only in (False, True):
+        got8 = flash_attention_int8(qa, ka, va, True, qk_only=qk_only)
+        e8 = float(jnp.max(jnp.abs(got8 - ref8)))
+        assert e8 < 5e-2, f"int8 flash (qk_only={qk_only}) err {e8}"
+    results["int8_flash_parity"] = "ok"
+
+    # 8. paged + prefix-cache + TP admission on the real chip: a repeated
+    #    >=2-page prompt must be SERVED via the suffix chunk program under
+    #    shard_map (the r3 latent bug's exact path), transcript-equal to
+    #    the single-device paged engine
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+    pcfg = GPTConfig(vocab_size=64, d_model=256, n_heads=2, d_ff=256,
+                     n_layers=2, max_seq_len=512)
+    pqm = GPT.init(pcfg, key=jax.random.PRNGKey(9)).quantize()
+    pqms = shard_quantized_model(pqm, mesh)
+    system = [1 + (i % 60) for i in range(256)]
+
+    def serve(model, **kw):
+        eng = ContinuousBatchingEngine(model, max_slots=2, paged=True, **kw)
+        outs = []
+        for t in (7, 9):
+            r = Request(prompt=system + [t], max_new_tokens=3)
+            eng.submit(r)
+            eng.run_to_completion(max_steps=30)
+            outs.append((tuple(r.generated), r.error))
+        return eng, outs
+
+    eng_tp, tp_out = serve(pqms, mesh=mesh)
+    _, sd_out = serve(pqm)
+    assert all(e is None for _, e in tp_out), tp_out
+    assert tp_out == sd_out, (tp_out, sd_out)
+    assert eng_tp.alloc.prefix_hits >= 2, eng_tp.alloc.prefix_hits
+    results["tp_paged_prefix_skip"] = "ok"
+
     print(json.dumps({"ok": True, **results}))
 
 

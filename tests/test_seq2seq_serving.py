@@ -368,3 +368,26 @@ def test_paged_seq2seq_keeps_decoder_budget_validation():
     fin = eng.run_to_completion(max_steps=80)
     assert len(fin) == 1 and fin[0].error is None
     assert len(fin[0].generated) == 40
+
+
+def test_paged_seq2seq_composes_with_int8_cross_cache_and_gqa():
+    """paged self-cache x int8 cross-attention K/V x GQA: transcripts
+    match the same engine with a dense self-cache."""
+    cfg = TransformerConfig(vocab_size=89, d_model=32, n_heads=4,
+                            n_kv_heads=2, d_ff=64, n_layers=2,
+                            max_seq_len=64)
+    model = Transformer.init(cfg, key=jax.random.PRNGKey(41))
+
+    def run(**kw):
+        eng = Seq2SeqEngine(model, max_slots=2, max_new_tokens=20,
+                            quantized_cache=True, **kw)
+        for src in ([3, 4, 5], [6, 7, 8, 9], [10, 11]):
+            eng.submit(Request(prompt=src, max_new_tokens=6))
+        fin = sorted(eng.run_to_completion(max_steps=60),
+                     key=lambda r: r.id)
+        return [(tuple(r.generated), r.error) for r in fin]
+
+    paged = run(paged=True)
+    dense = run()
+    assert all(e is None for _, e in paged), paged
+    assert paged == dense
