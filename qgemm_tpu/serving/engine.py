@@ -212,6 +212,17 @@ class _NativeBookkeeper:
             out.append(req)
 
 
+def _set_slot_state(state, slot, pos, tok, temp, topp, topk):
+    """Fused per-slot admission-state write: (positions, cur_tokens,
+    temps, topps, topks) updated in ONE dispatch (donated in-place)."""
+    positions, cur_tokens, temps, topps, topks = state
+    return (positions.at[slot].set(pos),
+            cur_tokens.at[slot, 0].set(tok),
+            temps.at[slot].set(temp),
+            topps.at[slot].set(topp),
+            topks.at[slot].set(topk))
+
+
 def _slice_slot(caches, slot):
     """Per layer: the slot's [1, H, S, *] view of every cache leaf."""
     zero = jnp.zeros((), jnp.int32)
@@ -411,6 +422,11 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         # so the donated input is never reused. Prefill is NOT donated: its
         # error-isolation path keeps using the old caches on failure.
         self._decode = jax.jit(self._decode_impl, donate_argnums=(3,))
+        # ONE dispatch for the five per-slot state writes at admission
+        # (five separate .at[].set calls each pay a full dispatch — over a
+        # remote tunnel that is 5 RTTs per admission, the measured
+        # admission-latency floor; r4)
+        self._set_slot = jax.jit(_set_slot_state, donate_argnums=(0,))
         self._prefill = jax.jit(self._prefill_impl, static_argnames=("plen",))
         self._prefill_paged = jax.jit(self._prefill_paged_impl,
                                       static_argnames=("plen",))
@@ -710,11 +726,12 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                 for j, hh in enumerate(hashes):
                     self.alloc.publish(slot, j, hh)
             # position = true prompt length (next write goes there)
-            self.positions = self.positions.at[slot].set(plen)
-            self.cur_tokens = self.cur_tokens.at[slot, 0].set(first_tok)
-            self.temps = self.temps.at[slot].set(req.temperature)
-            self.topps = self.topps.at[slot].set(req.top_p)
-            self.topks = self.topks.at[slot].set(eff_topk)
+            (self.positions, self.cur_tokens, self.temps, self.topps,
+             self.topks) = self._set_slot(
+                (self.positions, self.cur_tokens, self.temps, self.topps,
+                 self.topks), jnp.int32(slot), jnp.int32(plen), first_tok,
+                jnp.float32(req.temperature), jnp.float32(req.top_p),
+                jnp.int32(eff_topk))
             self.tokens_generated += 1
             if req.logprobs:
                 req.token_logprobs.append(float(first_lp))

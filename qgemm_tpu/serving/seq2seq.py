@@ -161,6 +161,17 @@ class Seq2SeqEngine(_PagedPoolOps):
 
         # donate the self caches only (enc_kvs are read-only in decode)
         self._decode = jax.jit(self._decode_impl, donate_argnums=(3,))
+        # ONE dispatch for the six per-slot admission-state writes (same
+        # rationale as the GPT engine's _set_slot — r4)
+        def _set_slot_impl(state, slot, srclen, tok, temp, topp, topk):
+            (src_lens, positions, cur_tokens, temps, topps, topks) = state
+            return (src_lens.at[slot].set(srclen),
+                    positions.at[slot].set(1),
+                    cur_tokens.at[slot, 0].set(tok),
+                    temps.at[slot].set(temp),
+                    topps.at[slot].set(topp),
+                    topks.at[slot].set(topk))
+        self._set_slot = jax.jit(_set_slot_impl, donate_argnums=(0,))
         self._prefill = jax.jit(self._prefill_impl, static_argnames=("plen",))
         self._prefill_paged = jax.jit(self._prefill_paged_impl,
                                       static_argnames=("plen",))
@@ -329,12 +340,13 @@ class Seq2SeqEngine(_PagedPoolOps):
                         self.finished.append(r)
                 self.finished.append(req)
                 continue
-            self.src_lens = self.src_lens.at[slot].set(plen)
-            self.positions = self.positions.at[slot].set(1)
-            self.cur_tokens = self.cur_tokens.at[slot, 0].set(first_tok)
-            self.temps = self.temps.at[slot].set(req.temperature)
-            self.topps = self.topps.at[slot].set(req.top_p)
-            self.topks = self.topks.at[slot].set(eff_topk)
+            (self.src_lens, self.positions, self.cur_tokens, self.temps,
+             self.topps, self.topks) = self._set_slot(
+                (self.src_lens, self.positions, self.cur_tokens,
+                 self.temps, self.topps, self.topks), jnp.int32(slot),
+                jnp.int32(plen), first_tok,
+                jnp.float32(req.temperature), jnp.float32(req.top_p),
+                jnp.int32(eff_topk))
             self.tokens_generated += 1
             if req.logprobs:
                 req.token_logprobs.append(float(first_lp))

@@ -47,9 +47,46 @@ def run(model, lengths, chunked, mode, vocab):
     return times
 
 
+def bench_prefix(model, vocab, log):
+    """Steady-state admission latency of a REPEATED 2048-token prompt:
+    prefix compute-skip (suffix-only prefill) vs full prefill."""
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+    rng = np.random.default_rng(11)
+    system = [int(t) for t in rng.integers(0, vocab, 2047)]
+
+    def run(prefix_cache):
+        eng = ContinuousBatchingEngine(model, max_slots=2, paged=True,
+                                       prefix_cache=prefix_cache)
+        times = []
+        for i in range(6):                  # first publishes + compiles
+            t0 = time.perf_counter()
+            eng.submit(Request(prompt=system + [i], max_new_tokens=2))
+            eng.step()
+            times.append(time.perf_counter() - t0)
+            eng.run_to_completion(max_steps=10)
+        skipped = eng.stats.get("prefill_tokens_skipped", 0)
+        return times, skipped
+
+    on, skipped = run(True)
+    off, _ = run(False)
+    # steady state = the last three admissions (compiles amortized)
+    on_ms = sum(on[-3:]) / 3 * 1e3
+    off_ms = sum(off[-3:]) / 3 * 1e3
+    log(f"repeated 2048-token prompt admission: prefix-skip {on_ms:.0f} ms"
+        f" vs full prefill {off_ms:.0f} ms ({off_ms/on_ms:.1f}x; "
+        f"{skipped} prompt tokens skipped)")
+    return {"prefix_skip_ms": round(on_ms, 1),
+            "full_prefill_ms": round(off_ms, 1),
+            "speedup": round(off_ms / on_ms, 2),
+            "tokens_skipped": int(skipped)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=("dense", "paged"), default="paged")
+    ap.add_argument("--prefix", action="store_true",
+                    help="also measure repeated-prompt prefix-skip "
+                         "admission latency (paged)")
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--d-model", type=int, default=1024)
     ap.add_argument("--vocab", type=int, default=32000)
@@ -61,6 +98,11 @@ def main():
                     n_layers=args.layers, max_seq_len=2560,
                     dtype="bfloat16")
     model = GPT.init(cfg, key=jax.random.PRNGKey(0)).quantize()
+    if args.prefix:
+        out = bench_prefix(model, args.vocab, log)
+        print(json.dumps({"metric": "prefix_skip_admission_speedup",
+                          "value": out["speedup"], "unit": "x", **out}))
+        return
     # five distinct pow2 length classes -> five bucketed compiles
     lengths = (600, 900, 1300, 1800, 2048)
 
