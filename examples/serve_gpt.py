@@ -60,6 +60,9 @@ def main():
                     help="chunked prefill size (0 = off): long prompts "
                          "admit chunk-by-chunk through one compiled "
                          "program (dense AND paged modes)")
+    ap.add_argument("--multi-step", type=int, default=0,
+                    help="decode K steps per dispatch when the queue is "
+                         "empty (amortizes per-token host round trips)")
     ap.add_argument("--tp", type=int, default=0,
                     help="tensor-parallel ways (BASELINE config 5): shard "
                          "the int8 model over a (1, tp) mesh — needs >= tp "
@@ -92,7 +95,8 @@ def main():
                                       scheduler=args.scheduler, mesh=mesh,
                                       paged=args.paged,
                                       n_pages=args.n_pages or None,
-                                      chunked_prefill=args.chunked or None)
+                                      chunked_prefill=args.chunked or None,
+                                      multi_step=args.multi_step)
     print(f"model: {model.num_params()/1e6:.1f}M params "
           f"({'bf16/f32' if args.no_quantize else 'int8'}); "
           f"scheduler: {engine.scheduler}; slots: {args.slots}"

@@ -50,5 +50,13 @@ class Embedding:
         clamping is deterministic and identical everywhere."""
         emb = jnp.take(self.table, tokens, axis=0, mode="clip")
         s = tokens.shape[-1]
-        pos = jax.lax.dynamic_slice_in_dim(self.pos, offset, s, axis=0)
+        tab = self.pos
+        if s > tab.shape[0]:
+            # a page-aligned prefill bucket may exceed the positional
+            # table (e.g. a 128-wide paged bucket on a max_seq_len=64
+            # model); the rows past the table are prompt PADDING — junk
+            # K/V that attention masks by true length — so zero-extend
+            # rather than erroring on the slice size
+            tab = jnp.pad(tab, ((0, s), (0, 0)))
+        pos = jax.lax.dynamic_slice_in_dim(tab, offset, s, axis=0)
         return emb + pos

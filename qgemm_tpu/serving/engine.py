@@ -278,13 +278,20 @@ class _PagedPoolOps:
         self.alloc.release(slot)
         self._pt_host[slot, :] = 0
 
-    def _grow_active_slots(self, active, positions):
-        """Per decode step: ensure every active slot has a page for the
-        position this step writes; sync device tables if any grew."""
+    def _grow_active_slots(self, active, positions, ahead: int = 1):
+        """Per decode step: ensure every active slot has pages for the
+        next ``ahead`` positions — but NEVER beyond the slot's admission-
+        time reservation (multi-step blocks may run past a finishing
+        sequence's worst case; those junk writes map to table entries
+        still holding 0, i.e. the null page). Syncs device tables if any
+        slot grew."""
         pos_host = np.asarray(positions)
         dirty = False
         for slot in np.flatnonzero(active):
-            dirty |= self._grow_slot(int(slot), int(pos_host[slot]) + 1)
+            reserved = len(self.alloc.slot_pages[slot]) * self._page_size
+            want = min(int(pos_host[slot]) + ahead,
+                       max(reserved, int(pos_host[slot]) + 1))
+            dirty |= self._grow_slot(int(slot), want)
         if dirty:
             self._sync_page_tables()
 
@@ -310,7 +317,7 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                  top_k: int = 0, seed: int = 0, mesh=None,
                  paged: bool = False, n_pages: Optional[int] = None,
                  chunked_prefill: Optional[int] = None,
-                 prefix_cache: bool = True):
+                 prefix_cache: bool = True, multi_step: int = 0):
         """``scheduler``: "python", "native" (C++ csrc/scheduler.cpp), or
         "auto" (native when the shared library is built).
         ``quantized_cache``: int8 KV cache (ops/kv_cache.py) — halves the
@@ -344,7 +351,17 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         rounds up to whole pages and each chunk runs the same compiled
         suffix-chunk program as the prefix compute-skip (one executable
         for every paged prompt length; composes with prefix caching and
-        TP)."""
+        TP).
+        ``multi_step``: run K decode steps per dispatch (one lax.scan)
+        whenever the waiting queue is empty — per-token host round trips
+        (dispatch overhead locally; full RTTs over a remote runtime)
+        amortize K-fold. Sequences that finish mid-block keep decoding
+        junk into their own reserved region for the rest of the block;
+        bookkeeping discards it (padded-decode contract). Greedy
+        transcripts are identical to single-step; sampled ones draw from
+        the same warped distributions through a different key sequence.
+        Admissions are never delayed: any waiting request drops the
+        engine back to single steps until admitted."""
         self.model = model
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len or model.cfg.max_seq_len
@@ -422,6 +439,10 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         # so the donated input is never reused. Prefill is NOT donated: its
         # error-isolation path keeps using the old caches on failure.
         self._decode = jax.jit(self._decode_impl, donate_argnums=(3,))
+        self.multi_step = int(multi_step)
+        self._decode_multi = jax.jit(self._decode_multi_impl,
+                                     donate_argnums=(3,),
+                                     static_argnames=("n",))
         # ONE dispatch for the five per-slot state writes at admission
         # (five separate .at[].set calls each pay a full dispatch — over a
         # remote tunnel that is 5 RTTs per admission, the measured
@@ -472,6 +493,29 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         nxt = sample_logits(logits, key, temperature=temps,
                             top_k=topks, top_p=topps)
         return nxt, token_logprob(logits, nxt), caches
+
+    def _decode_multi_impl(self, model, tok, pos, caches, key, temps,
+                           topps, topks, n):
+        """``n`` decode steps in ONE dispatch (lax.scan): per-token host
+        round trips — dispatch overhead locally, full RTTs on a remote
+        tunnel — amortize n-fold. Returns tokens/logprobs for every
+        sub-step [n, slots]; host bookkeeping replays them and discards
+        anything a slot produced after its own finish (the padded-decode
+        contract: junk positions are never attended and the slot's next
+        occupant prefills over them)."""
+        from qgemm_tpu.ops.sampling import sample_logits, token_logprob
+
+        def sub(carry, k):
+            tok, pos, caches = carry
+            logits, caches = model.decode_step(tok, pos, caches)
+            nxt = sample_logits(logits, k, temperature=temps,
+                                top_k=topks, top_p=topps)
+            return (nxt[:, None], pos + 1, caches), \
+                (nxt, token_logprob(logits, nxt))
+
+        (tok, pos, caches), (toks, lps) = jax.lax.scan(
+            sub, (tok, pos, caches), jax.random.split(key, n))
+        return toks, lps, caches
 
     def _prefill_impl(self, model, prompt, plen_true, caches, slot,
                       key, temp, topp, topk, plen):
@@ -861,17 +905,26 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         active = self.book.active_mask()
         if not active.any():
             return False
+        # multi-step block only when nothing waits for a slot (admissions
+        # are never delayed by an in-flight block)
+        n = (self.multi_step
+             if self.multi_step > 1 and self.book.num_waiting == 0 else 1)
         if self.paged:
             # pool exhaustion here raises — size the pool for the expected
             # resident tokens, or lower max_slots; the admission path
             # already applies queue backpressure
-            self._grow_active_slots(active, self.positions)
+            self._grow_active_slots(active, self.positions, ahead=n)
         self._key, sub = jax.random.split(self._key)
         try:
-            nxt, lps, self.caches = self._decode(self.model, self.cur_tokens,
-                                                 self.positions, self.caches,
-                                                 sub, self.temps, self.topps,
-                                                 self.topks)
+            if n > 1:
+                toks, lps, self.caches = self._decode_multi(
+                    self.model, self.cur_tokens, self.positions,
+                    self.caches, sub, self.temps, self.topps, self.topks,
+                    n=n)
+            else:
+                nxt, lps, self.caches = self._decode(
+                    self.model, self.cur_tokens, self.positions,
+                    self.caches, sub, self.temps, self.topps, self.topks)
         except Exception as e:  # noqa: BLE001 — the caches were DONATED into
             # the step, so after a fault (transient backend error, OOM) they
             # may point at deleted buffers: request-level isolation is
@@ -879,6 +932,29 @@ class ContinuousBatchingEngine(_PagedPoolOps):
             # fail every in-flight request with the error and rebuild fresh
             # caches so subsequent submissions still serve.
             self._recover_from_decode_fault(e)
+            return True
+        if n > 1:
+            self.positions = self.positions \
+                + jnp.asarray(active, jnp.int32) * n
+            self.cur_tokens = toks[-1][:, None]
+            toks_host = np.asarray(toks)
+            lps_host = np.asarray(lps) if self._lp_slots else None
+            for i in range(n):
+                active_i = self.book.active_mask()
+                if not active_i.any():
+                    break
+                if self._lp_slots:
+                    for slot, r in self._lp_slots.items():
+                        if active_i[slot]:
+                            r.token_logprobs.append(float(lps_host[i, slot]))
+                self.book.record_step(toks_host[i])
+                self.tokens_generated += int(active_i.sum())
+            freed = active & ~self.book.active_mask()
+            for slot in np.flatnonzero(freed):
+                self._lp_slots.pop(int(slot), None)
+                if self.paged:
+                    self._release_slot_pages(int(slot))
+            self.finished.extend(self.book.drain_finished())
             return True
         self.positions = self.positions + jnp.asarray(active, jnp.int32)
         self.cur_tokens = nxt[:, None]

@@ -393,3 +393,36 @@ def test_gqa_chunked_dense_prefill_matches_bucketed():
     ref = run()
     assert all(e is None for _, e in chunked), chunked
     assert chunked == ref
+
+
+def test_multi_step_decode_matches_single_step():
+    """multi_step=K (K decode steps per dispatch): greedy transcripts
+    identical to the single-step engine across mixed generation lengths,
+    EOS mid-block, slot churn with a waiting queue, dense AND paged."""
+    model = _model(seed=71)
+    # find a token this model emits early, to use as a mid-block EOS
+    probe = ContinuousBatchingEngine(model, max_slots=1)
+    pr = Request(prompt=[5, 6, 7], max_new_tokens=6)
+    probe.submit(pr)
+    probe.run_to_completion(max_steps=20)
+    eos = pr.generated[3]
+
+    reqs_spec = [([5, 6, 7], 6, eos), ([8, 9], 11, None),
+                 ([1] * 7, 3, None), ([2, 3], 9, eos), ([4] * 5, 7, None)]
+
+    def run(**kw):
+        eng = ContinuousBatchingEngine(model, max_slots=2, **kw)
+        reqs = [Request(prompt=p, max_new_tokens=m, eos_token=e)
+                for p, m, e in reqs_spec]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=300)}
+        return [(tuple(fin[r.id].generated), fin[r.id].error)
+                for r in reqs]
+
+    ref = run()
+    for kw in ({"multi_step": 4}, {"multi_step": 4, "paged": True},
+               {"multi_step": 3, "quantized_cache": True}):
+        got = run(**kw)
+        assert all(e is None for _, e in got), (kw, got)
+        assert got == ref, (kw, got, ref)
