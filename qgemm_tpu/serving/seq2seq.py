@@ -70,7 +70,8 @@ class Seq2SeqEngine(_PagedPoolOps):
                  max_new_tokens: Optional[int] = None,
                  quantized_cache: bool = False, top_k: int = 0,
                  seed: int = 0, bos_token: int = 1, mesh=None,
-                 paged: bool = False, n_pages: Optional[int] = None):
+                 paged: bool = False, n_pages: Optional[int] = None,
+                 multi_step: int = 0):
         """``mesh``: tensor-parallel serving — pass the mesh the model was
         sharded over (parallel.sharding.shard_quantized_model on a
         ``Transformer.with_tp`` model); the decoder self-caches AND the
@@ -85,7 +86,11 @@ class Seq2SeqEngine(_PagedPoolOps):
         chunked admission tiers don't apply either: the decoder starts
         from a single BOS token, there is no prompt to page, share or
         chunk). ``n_pages`` sizes the pool (default full provisioning;
-        less = oversubscribe with admission backpressure)."""
+        less = oversubscribe with admission backpressure).
+        ``multi_step``: K decode steps per dispatch when the queue is
+        empty (same contract as the GPT engine: greedy transcripts
+        identical, finishing slots junk-decode within their reservation
+        for the rest of the block, admissions never delayed)."""
         cfg = model.cfg
         self.model = model
         self.max_slots = max_slots
@@ -161,6 +166,10 @@ class Seq2SeqEngine(_PagedPoolOps):
 
         # donate the self caches only (enc_kvs are read-only in decode)
         self._decode = jax.jit(self._decode_impl, donate_argnums=(3,))
+        self.multi_step = int(multi_step)
+        self._decode_multi = jax.jit(self._decode_multi_impl,
+                                     donate_argnums=(3,),
+                                     static_argnames=("n",))
         # ONE dispatch for the six per-slot admission-state writes (same
         # rationale as the GPT engine's _set_slot — r4)
         def _set_slot_impl(state, slot, srclen, tok, temp, topp, topk):
@@ -187,6 +196,26 @@ class Seq2SeqEngine(_PagedPoolOps):
         nxt = sample_logits(logits, key, temperature=temps, top_k=topks,
                             top_p=topps)
         return nxt, token_logprob(logits, nxt), caches
+
+    def _decode_multi_impl(self, model, tok, pos, caches, enc_kvs,
+                           src_lens, key, temps, topps, topks, n):
+        """``n`` decode steps in one dispatch (GPT-engine multi_step
+        contract)."""
+        from qgemm_tpu.ops.sampling import sample_logits, token_logprob
+        src_mask = jnp.arange(self.max_src_len)[None, :] < src_lens[:, None]
+
+        def sub(carry, k):
+            tok, pos, caches = carry
+            logits, caches = model.decode_logits(tok, pos, enc_kvs, caches,
+                                                 src_mask=src_mask)
+            nxt = sample_logits(logits, k, temperature=temps,
+                                top_k=topks, top_p=topps)
+            return (nxt[:, None], pos + 1, caches), \
+                (nxt, token_logprob(logits, nxt))
+
+        (tok, pos, caches), (toks, lps) = jax.lax.scan(
+            sub, (tok, pos, caches), jax.random.split(key, n))
+        return toks, lps, caches
 
     def _encode_and_bos(self, model, src, src_len_true, enc_kvs, slot,
                         plen, quantized_tmp):
@@ -397,31 +426,57 @@ class Seq2SeqEngine(_PagedPoolOps):
         active = self.book.active_mask()
         if not active.any():
             return False
+        n = (self.multi_step
+             if self.multi_step > 1 and self.book.num_waiting == 0 else 1)
         if self.paged:
             # reservation at admission means this can only grow within the
             # committed worst case
-            self._grow_active_slots(active, self.positions)
+            self._grow_active_slots(active, self.positions, ahead=n)
         self._key, sub = jax.random.split(self._key)
         try:
-            nxt, lps, self.caches = self._decode(
-                self.model, self.cur_tokens, self.positions, self.caches,
-                self.enc_kvs, self.src_lens, sub, self.temps, self.topps,
-                self.topks)
+            if n > 1:
+                toks, lps, self.caches = self._decode_multi(
+                    self.model, self.cur_tokens, self.positions,
+                    self.caches, self.enc_kvs, self.src_lens, sub,
+                    self.temps, self.topps, self.topks, n=n)
+            else:
+                nxt, lps, self.caches = self._decode(
+                    self.model, self.cur_tokens, self.positions,
+                    self.caches, self.enc_kvs, self.src_lens, sub,
+                    self.temps, self.topps, self.topks)
         except Exception as e:  # noqa: BLE001 — caches were DONATED: after
             # a fault they may point at deleted buffers. Same engine-level
             # recovery as the GPT engine: fail every in-flight request and
             # rebuild the cache state so later submissions still serve.
             self._recover_from_decode_fault(e)
             return True
-        self.positions = self.positions + jnp.asarray(active, jnp.int32)
-        self.cur_tokens = nxt[:, None]
-        if self._lp_slots:
-            lps_host = np.asarray(lps)
-            for slot, r in self._lp_slots.items():
-                if active[slot]:
-                    r.token_logprobs.append(float(lps_host[slot]))
-        self.book.record_step(np.asarray(nxt))
-        self.tokens_generated += int(active.sum())
+        if n > 1:
+            self.positions = self.positions \
+                + jnp.asarray(active, jnp.int32) * n
+            self.cur_tokens = toks[-1][:, None]
+            toks_host = np.asarray(toks)
+            lps_host = np.asarray(lps) if self._lp_slots else None
+            for i in range(n):
+                active_i = self.book.active_mask()
+                if not active_i.any():
+                    break
+                if self._lp_slots:
+                    for slot, r in self._lp_slots.items():
+                        if active_i[slot]:
+                            r.token_logprobs.append(
+                                float(lps_host[i, slot]))
+                self.book.record_step(toks_host[i])
+                self.tokens_generated += int(active_i.sum())
+        else:
+            self.positions = self.positions + jnp.asarray(active, jnp.int32)
+            self.cur_tokens = nxt[:, None]
+            if self._lp_slots:
+                lps_host = np.asarray(lps)
+                for slot, r in self._lp_slots.items():
+                    if active[slot]:
+                        r.token_logprobs.append(float(lps_host[slot]))
+            self.book.record_step(np.asarray(nxt))
+            self.tokens_generated += int(active.sum())
         for slot in np.flatnonzero(active & ~self.book.active_mask()):
             self._lp_slots.pop(int(slot), None)
             if self.paged:

@@ -391,3 +391,33 @@ def test_paged_seq2seq_composes_with_int8_cross_cache_and_gqa():
     dense = run()
     assert all(e is None for _, e in paged), paged
     assert paged == dense
+
+
+def test_seq2seq_multi_step_matches_single_step():
+    """multi_step blocks produce the single-step engine's transcripts
+    (EOS mid-block, mixed lengths, dense and paged)."""
+    model = _model(seed=51)
+    probe = Seq2SeqEngine(model, max_slots=1, max_new_tokens=16)
+    pr = Request(prompt=[4, 5, 6], max_new_tokens=8)
+    probe.submit(pr)
+    probe.run_to_completion(max_steps=40)
+    eos = pr.generated[4]
+
+    spec = [([4, 5, 6], 8, eos), ([7, 8], 13, None), ([9] * 4, 5, eos),
+            ([2, 3], 10, None)]
+
+    def run(**kw):
+        eng = Seq2SeqEngine(model, max_slots=2, max_new_tokens=140, **kw)
+        reqs = [Request(prompt=p, max_new_tokens=m, eos_token=e)
+                for p, m, e in spec]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=400)}
+        return [(tuple(fin[r.id].generated), fin[r.id].error)
+                for r in reqs]
+
+    ref = run()
+    for kw in ({"multi_step": 4}, {"multi_step": 5, "paged": True}):
+        got = run(**kw)
+        assert all(e is None for _, e in got), (kw, got)
+        assert got == ref, (kw, got, ref)
