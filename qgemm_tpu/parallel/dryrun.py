@@ -112,7 +112,8 @@ def run_dryrun(n_devices: int) -> None:
     pgpt = _GPT.init(pcfg, key=jax.random.PRNGKey(21)).quantize()
     pgpt_sharded = shard_quantized_model(pgpt, mesh)
     peng = ContinuousBatchingEngine(pgpt_sharded, max_slots=2, mesh=mesh,
-                                    paged=True, chunked_prefill=128)
+                                    paged=True, chunked_prefill=128,
+                                    multi_step=3)
     assert peng.prefix_cache, "prefix cache should stay enabled under TP"
     system = [1 + (i % 60) for i in range(160)]
     for t in (7, 9):
