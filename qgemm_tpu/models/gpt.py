@@ -238,8 +238,18 @@ class GPT:
         positions. The chunk attends the cache's 0..offset-1 rows plus
         causally within itself, so feeding consecutive chunks reproduces
         full-prompt prefill exactly (the engine's bounded-compile admission
-        path for long prompts)."""
-        x = self.embed(tokens, offset=offset)
+        path for long prompts). ``offset`` may also be a [B] vector of
+        PER-SLOT positions (continuous-batching speculative verification:
+        every slot's candidate block verifies at its own offset in one
+        batched chunk forward — the dense cache path broadcasts the
+        per-slot causal masks)."""
+        if getattr(offset, "ndim", 0) == 1:
+            c = tokens.shape[1]
+            posi = offset[:, None] + jnp.arange(c)[None, :]
+            x = jnp.take(self.embed.table, tokens, axis=0, mode="clip") \
+                + jnp.take(self.embed.pos, posi, axis=0, mode="clip")
+        else:
+            x = self.embed(tokens, offset=offset)
         new_caches = []
         for blk, cache in zip(self.blocks, caches):
             x, cache = blk(x, cache=cache, cache_index=offset)

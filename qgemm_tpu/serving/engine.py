@@ -121,6 +121,20 @@ class _PyBookkeeper:
     def active_mask(self) -> np.ndarray:
         return self.active.copy()
 
+    def record_block(self, cands: np.ndarray, produced: np.ndarray):
+        """Speculative round: append each active slot's own accepted
+        candidate block (variable length per slot), honoring EOS /
+        max_new truncation mid-block. One scheduler step."""
+        for slot in np.flatnonzero(self.active):
+            req = self.slot_req.get(int(slot))
+            for i in range(int(produced[slot])):
+                if req is None or req.done:
+                    break
+                self.pos[slot] += 1
+                req.generated.append(int(cands[slot, i]))
+                self._maybe_finish(int(slot))
+        self.steps += 1
+
     def cancel(self, req_id: int):
         """-> ("waiting", Request) | ("active", slot) | None. An active
         cancel frees the slot immediately and moves the partial transcript
@@ -317,7 +331,8 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                  top_k: int = 0, seed: int = 0, mesh=None,
                  paged: bool = False, n_pages: Optional[int] = None,
                  chunked_prefill: Optional[int] = None,
-                 prefix_cache: bool = True, multi_step: int = 0):
+                 prefix_cache: bool = True, multi_step: int = 0,
+                 draft_model=None, spec_gamma: int = 4):
         """``scheduler``: "python", "native" (C++ csrc/scheduler.cpp), or
         "auto" (native when the shared library is built).
         ``quantized_cache``: int8 KV cache (ops/kv_cache.py) — halves the
@@ -361,7 +376,19 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         transcripts are identical to single-step; sampled ones draw from
         the same warped distributions through a different key sequence.
         Admissions are never delayed: any waiting request drops the
-        engine back to single steps until admitted."""
+        engine back to single steps until admitted.
+        ``draft_model``: CONTINUOUS-BATCHING SPECULATIVE DECODING — when
+        every active slot is greedy and nothing waits, each step drafts
+        ``spec_gamma`` tokens per slot (batched draft decode scan) and
+        verifies ALL slots in one batched multi-token target forward
+        (``prefill_chunk`` at per-slot offsets); each slot advances by
+        its own accepted-prefix length + 1. Transcripts stay EXACTLY the
+        target's greedy output (disagreements truncate to the target's
+        token). Dense-cache mode, python scheduler (per-slot
+        variable-length appends). Slots decoded without the draft (a
+        sampling request forces plain steps) leave holes in the draft's
+        cache — acceptance drops but exactness is untouched (the
+        verifier is the target)."""
         self.model = model
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len or model.cfg.max_seq_len
@@ -370,6 +397,14 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         self.mesh = mesh
         self._key = jax.random.PRNGKey(seed)
 
+        self.draft = draft_model
+        self.spec_gamma = int(spec_gamma)
+        if draft_model is not None:
+            assert not paged, \
+                "engine speculative mode is dense-cache (paged spec would " \
+                "need candidate pages per slot)"
+            # per-slot variable-length appends need the python bookkeeper
+            scheduler = "python"
         if scheduler == "auto":
             from qgemm_tpu.serving import native
             scheduler = "native" if native.available() else "python"
@@ -414,8 +449,16 @@ class ContinuousBatchingEngine(_PagedPoolOps):
             self.alloc = PageAllocator(npg, max_slots, pps)
             self._page_size = PAGE_SIZE
         else:
-            self.caches = model.init_cache(max_slots, self.max_seq_len,
+            # speculative mode verifies gamma+1 candidate positions past a
+            # slot's current position — the extent must cover them or the
+            # clamped chunk write would smear junk over VALID rows
+            extra = (self.spec_gamma + 2) if draft_model is not None else 0
+            self.caches = model.init_cache(max_slots,
+                                           self.max_seq_len + extra,
                                            quantized=quantized_cache)
+            if draft_model is not None:
+                self.draft_caches = draft_model.init_cache(
+                    max_slots, self.max_seq_len + extra)
         if mesh is not None:
             if paged:
                 from qgemm_tpu.parallel.sharding import shard_paged_caches
@@ -443,6 +486,13 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         self._decode_multi = jax.jit(self._decode_multi_impl,
                                      donate_argnums=(3,),
                                      static_argnames=("n",))
+        self._slot_greedy = np.ones((max_slots,), bool)
+        if draft_model is not None:
+            self._spec_round = jax.jit(self._spec_round_impl,
+                                       donate_argnums=(4, 5),
+                                       static_argnames=("gamma",))
+            self._draft_prefill = jax.jit(self._draft_prefill_impl,
+                                          static_argnames=("plen",))
         # ONE dispatch for the five per-slot state writes at admission
         # (five separate .at[].set calls each pay a full dispatch — over a
         # remote tunnel that is 5 RTTs per admission, the measured
@@ -493,6 +543,52 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         nxt = sample_logits(logits, key, temperature=temps,
                             top_k=topks, top_p=topps)
         return nxt, token_logprob(logits, nxt), caches
+
+    def _draft_prefill_impl(self, draft, prompt, caches, slot, plen):
+        """Write the draft model's prompt K/V into its own slot cache
+        (no sampling — the draft only proposes during spec rounds)."""
+        tmp = draft.init_cache(1, plen)
+        _, tmp = draft.prefill(prompt, tmp)
+        zero = jnp.zeros((), jnp.int32)
+        scatter = lambda c, t: jax.lax.dynamic_update_slice(
+            c, t, (slot, zero, zero, zero))
+        return [jax.tree.map(scatter, c, t) for c, t in zip(caches, tmp)]
+
+    def _spec_round_impl(self, model, draft, cur, pos, caches, dcaches,
+                         gamma):
+        """One batched speculative round over ALL slots (greedy): the
+        draft scans gamma+1 decode steps (the extra step closes the
+        full-acceptance cache hole), the target verifies every slot's
+        candidate block in ONE multi-token forward at per-slot offsets,
+        and each slot advances by its own accepted prefix + 1 (the
+        target's fix token). cur [B,1]; pos [B]. Returns (cand
+        [B,gamma+1], produced [B], cur_new [B], lps [B,gamma+1],
+        caches, dcaches)."""
+        def dstep(carry, j):
+            tok, dc = carry
+            logits, dc = draft.decode_step(tok, pos + j, dc)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (nxt[:, None], dc), nxt
+
+        (_, dcaches), props = jax.lax.scan(dstep, (cur, dcaches),
+                                           jnp.arange(gamma + 1))
+        d = props[:gamma].T                                  # [B, gamma]
+        seq = jnp.concatenate([cur, d], axis=1)              # [B, gamma+1]
+        tlogits, caches = model.prefill_chunk(seq, pos, caches)
+        g = jnp.argmax(tlogits, axis=-1).astype(jnp.int32)   # [B, gamma+1]
+        acc = jnp.cumprod((d == g[:, :gamma]).astype(jnp.int32), axis=1)
+        n_acc = jnp.sum(acc, axis=1)                         # [B]
+        idx = jnp.arange(gamma + 1)[None, :]
+        dpad = jnp.concatenate([d, d[:, -1:]], axis=1)
+        fix = jnp.take_along_axis(g, jnp.minimum(n_acc, gamma)[:, None],
+                                  axis=1)
+        cand = jnp.where(idx < n_acc[:, None], dpad, fix)
+        produced = n_acc + 1
+        cur_new = jnp.take_along_axis(cand, (produced - 1)[:, None],
+                                      axis=1)[:, 0]
+        lps = jax.nn.log_softmax(tlogits.astype(jnp.float32), axis=-1)
+        lps = jnp.take_along_axis(lps, cand[..., None], axis=2)[..., 0]
+        return cand, produced, cur_new, lps, caches, dcaches
 
     def _decode_multi_impl(self, model, tok, pos, caches, key, temps,
                            topps, topks, n):
@@ -751,6 +847,12 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                             jnp.int32(slot), sub, jnp.float32(req.temperature),
                             jnp.float32(req.top_p), jnp.int32(eff_topk),
                             plen=bucket)
+                if self.draft is not None:
+                    # the draft model prefills the same prompt into ITS
+                    # slot cache so spec rounds propose with full context
+                    self.draft_caches = self._draft_prefill(
+                        self.draft, prompt, self.draft_caches,
+                        jnp.int32(slot), plen=bucket)
             except Exception as e:  # noqa: BLE001 — per-request isolation:
                 # a failing prefill (bad values, compile error for a new
                 # bucket, transient backend fault) must not kill the batch
@@ -777,6 +879,7 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                 jnp.float32(req.temperature), jnp.float32(req.top_p),
                 jnp.int32(eff_topk))
             self.tokens_generated += 1
+            self._slot_greedy[slot] = req.temperature <= 1e-6
             if req.logprobs:
                 req.token_logprobs.append(float(first_lp))
                 self._lp_slots[slot] = req
@@ -905,6 +1008,9 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         active = self.book.active_mask()
         if not active.any():
             return False
+        if (self.draft is not None and self.book.num_waiting == 0
+                and bool(self._slot_greedy[np.flatnonzero(active)].all())):
+            return self._spec_step(active)
         # multi-step block only when nothing waits for a slot (admissions
         # are never delayed by an in-flight block)
         n = (self.multi_step
@@ -973,6 +1079,44 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         self.finished.extend(self.book.drain_finished())
         return True
 
+    def _spec_step(self, active):
+        """One engine speculative round (all active slots greedy, queue
+        empty): draft gamma per slot, verify batched, advance each slot
+        by its own accepted block."""
+        try:
+            (cand, produced, cur_new, lps, self.caches,
+             self.draft_caches) = self._spec_round(
+                self.model, self.draft, self.cur_tokens, self.positions,
+                self.caches, self.draft_caches, gamma=self.spec_gamma)
+        except Exception as e:  # noqa: BLE001 — both cache sets were
+            # donated; engine-level recovery (same as decode)
+            self._recover_from_decode_fault(e)
+            return True
+        self.positions = self.positions \
+            + jnp.asarray(active, jnp.int32) * produced
+        self.cur_tokens = cur_new[:, None]
+        cand_host = np.asarray(cand)
+        produced_host = np.asarray(produced)
+        # snapshot request refs/lengths: the deltas after record_block are
+        # exactly what the book accepted (EOS/max_new truncate mid-block)
+        reqs_before = {int(s): self.book.slot_req[int(s)]
+                       for s in np.flatnonzero(active)
+                       if int(s) in self.book.slot_req}
+        lens_before = {s: len(r.generated) for s, r in reqs_before.items()}
+        self.book.record_block(cand_host, produced_host)
+        lps_host = np.asarray(lps) if self._lp_slots else None
+        for s, r in reqs_before.items():
+            delta = len(r.generated) - lens_before[s]
+            self.tokens_generated += delta
+            if lps_host is not None and s in self._lp_slots:
+                for i in range(delta):
+                    self._lp_slots[s].token_logprobs.append(
+                        float(lps_host[s, i]))
+        for slot in np.flatnonzero(active & ~self.book.active_mask()):
+            self._lp_slots.pop(int(slot), None)
+        self.finished.extend(self.book.drain_finished())
+        return True
+
     def _recover_from_decode_fault(self, e: Exception):
         """A failed (donated-cache) decode step poisons every in-flight
         sequence: mark them all errored, release their slots/pages, and
@@ -994,9 +1138,14 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                 self.max_slots, tmpl.page_table.shape[1])
                 for _ in self.model.blocks]
         else:
+            extra = (self.spec_gamma + 2) if self.draft is not None else 0
             self.caches = self.model.init_cache(
-                self.max_slots, self.max_seq_len,
+                self.max_slots, self.max_seq_len + extra,
                 quantized=self.quantized_cache)
+            if self.draft is not None:
+                # the draft caches were donated into the failed round too
+                self.draft_caches = self.draft.init_cache(
+                    self.max_slots, self.max_seq_len + extra)
         if self.mesh is not None:
             if self.paged:
                 from qgemm_tpu.parallel.sharding import shard_paged_caches

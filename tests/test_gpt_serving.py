@@ -426,3 +426,64 @@ def test_multi_step_decode_matches_single_step():
         got = run(**kw)
         assert all(e is None for _, e in got), (kw, got)
         assert got == ref, (kw, got, ref)
+
+
+def test_engine_speculative_matches_plain():
+    """Continuous-batching speculative decoding (draft_model=...): greedy
+    transcripts EXACTLY equal the plain engine's for both a self-draft
+    and an unrelated random draft, across EOS mid-block, mixed lengths
+    and slot churn; logprobs align with generated."""
+    model = _model(seed=81)
+    # a token the model emits early, as a mid-block EOS
+    probe = ContinuousBatchingEngine(model, max_slots=1)
+    pr = Request(prompt=[5, 6, 7], max_new_tokens=6)
+    probe.submit(pr)
+    probe.run_to_completion(max_steps=20)
+    eos = pr.generated[3]
+
+    spec = [([5, 6, 7], 6, eos), ([8, 9], 11, None), ([1] * 7, 3, None),
+            ([2, 3], 9, eos), ([4] * 5, 7, None)]
+
+    def run(**kw):
+        eng = ContinuousBatchingEngine(model, max_slots=2, **kw)
+        reqs = [Request(prompt=p, max_new_tokens=m, eos_token=e,
+                        logprobs=True)
+                for p, m, e in spec]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=300)}
+        return eng, [fin[r.id] for r in reqs]
+
+    _, ref = run()
+    ref_out = [(tuple(r.generated), r.error) for r in ref]
+    for draft in (model, _model(seed=82)):
+        eng, got = run(draft_model=draft, spec_gamma=3)
+        out = [(tuple(r.generated), r.error) for r in got]
+        assert all(e is None for _, e in out), out
+        assert out == ref_out, (out, ref_out)
+        for r in got:
+            assert len(r.token_logprobs) == len(r.generated), r
+    # self-draft: fewer scheduler steps than tokens (blocks accepted)
+    assert eng.steps < sum(len(r.generated) for r in got)
+
+
+def test_engine_speculative_disengages_for_sampling():
+    """A temperature>0 request drops the engine to plain decode (greedy
+    slots still produce target transcripts; the sampled request gets
+    served); speculation resumes after it finishes."""
+    model = _model(seed=83)
+    eng = ContinuousBatchingEngine(model, max_slots=2,
+                                   draft_model=model, spec_gamma=3, seed=5)
+    g1 = Request(prompt=[5, 6], max_new_tokens=12)
+    hot = Request(prompt=[7, 8], max_new_tokens=4, temperature=0.9)
+    eng.submit(g1)
+    eng.submit(hot)
+    fin = {r.id: r for r in eng.run_to_completion(max_steps=100)}
+    assert fin[g1.id].error is None and len(fin[g1.id].generated) == 12
+    assert fin[hot.id].error is None and len(fin[hot.id].generated) == 4
+    # greedy transcript matches a plain engine run of the same request
+    ref = ContinuousBatchingEngine(model, max_slots=1)
+    r2 = Request(prompt=[5, 6], max_new_tokens=12)
+    ref.submit(r2)
+    ref.run_to_completion(max_steps=50)
+    assert fin[g1.id].generated == r2.generated
