@@ -487,3 +487,25 @@ def test_engine_speculative_disengages_for_sampling():
     ref.submit(r2)
     ref.run_to_completion(max_steps=50)
     assert fin[g1.id].generated == r2.generated
+
+
+def test_engine_speculative_composes_with_int8_cache():
+    """spec x quantized_cache: the verify chunk and single-step decode
+    read the same int8 rows — transcripts match the plain int8-cache
+    engine."""
+    model = _model(seed=81)
+
+    def run(**kw):
+        eng = ContinuousBatchingEngine(model, max_slots=2,
+                                       quantized_cache=True, **kw)
+        reqs = [Request(prompt=[5 + i, 6, 7], max_new_tokens=8)
+                for i in range(3)]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=100)}
+        return [(tuple(fin[r.id].generated), fin[r.id].error) for r in reqs]
+
+    got = run(draft_model=model, spec_gamma=3)
+    ref = run()
+    assert all(e is None for _, e in got), got
+    assert got == ref
