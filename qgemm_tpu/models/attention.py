@@ -229,8 +229,31 @@ class MultiHeadAttention:
                     # every cached position <= their own (context attention
                     # — causal across the shared prefix AND within the
                     # chunk)
-                    assert q.shape[0] == 1, "paged chunk prefill is per-slot"
                     offset = jnp.asarray(cache_index)
+                    if offset.ndim == 1:
+                        # batched VERIFY chunk (continuous-batching
+                        # speculative decoding over the paged cache): every
+                        # slot's candidate block writes + attends at its own
+                        # per-slot offset — unaligned to pages, so the
+                        # writes go row-by-row through the decode scatter
+                        # (each row's page/offset resolved from the table)
+                        # and the attend is the batched gather context
+                        # attention. One scatter per candidate row, not per
+                        # slot: gamma+1 scatters total.
+                        if self._tp:
+                            out, new_cache = _tp_paged_spec_chunk(
+                                self, q, k, v, kv_cache, offset)
+                            return self.w_o(self._merge(out)), new_cache
+                        new_cache = kv_cache
+                        for j in range(q.shape[2]):
+                            new_cache = paged_write_step(
+                                new_cache, k[:, :, j:j + 1], v[:, :, j:j + 1],
+                                offset + j)
+                        lengths = offset + q.shape[2]
+                        out = _paged_context_attend(q, new_cache, lengths,
+                                                    offset)
+                        return self.w_o(self._merge(out)), new_cache
+                    assert q.shape[0] == 1, "paged chunk prefill is per-slot"
                     if self._tp:
                         p_ = self.w_o.mesh.shape[self.w_o.tp_axis]
                         assert q.shape[1] % p_ == 0 \
@@ -483,6 +506,43 @@ def _paged_context_attend(q, cache, lengths, offset):
     from qgemm_tpu.serving.paged_cache import (
         paged_context_attention_reference)
     return paged_context_attention_reference(q, cache, lengths, offset)
+
+
+def _tp_paged_spec_chunk(mha, q, k, v, cache, offsets):
+    """Batched speculative VERIFY chunk over the paged cache under tensor
+    parallelism: pools and heads shard over the model axis exactly as in
+    ``_tp_paged_decode``; the per-slot page tables and offsets replicate.
+    Each device writes its own heads' candidate rows into its pool shard
+    (one decode-style scatter per chunk row) and context-attends its head
+    slice — no collective in the body (the paired row-parallel W_O carries
+    the block's one psum)."""
+    from jax.sharding import PartitionSpec as P
+
+    from qgemm_tpu.parallel.tp_ops import shard_map
+    from qgemm_tpu.serving.paged_cache import PagedKVCache, paged_write_step
+
+    mesh, axis = mha.w_o.mesh, mha.w_o.tp_axis
+    page_size = cache.page_size
+    chunk = q.shape[2]
+
+    def body(q, k, v, kq, kc, vq, vc, pt, off):
+        local = PagedKVCache(kq=kq, kc=kc, vq=vq, vc=vc, page_table=pt,
+                             page_size=page_size)
+        for j in range(chunk):
+            local = paged_write_step(local, k[:, :, j:j + 1],
+                                     v[:, :, j:j + 1], off + j)
+        lengths = off + chunk
+        out = _paged_context_attend(q, local, lengths, off)
+        return out, local.kq, local.kc, local.vq, local.vc
+
+    hs = P(None, axis)
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(hs, hs, hs, hs, hs, hs, hs, P(), P()),
+                  out_specs=(hs, hs, hs, hs, hs), check_rep=False)
+    out, kq, kc, vq, vc = f(q, k, v, cache.kq, cache.kc, cache.vq, cache.vc,
+                            cache.page_table, offsets)
+    from dataclasses import replace as _rep
+    return out, _rep(cache, kq=kq, kc=kc, vq=vq, vc=vc)
 
 
 def _tp_paged_chunk_prefill(mha, q, k, v, cache, offset):

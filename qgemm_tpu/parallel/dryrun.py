@@ -124,6 +124,20 @@ def run_dryrun(n_devices: int) -> None:
     assert all(len(r.generated) == 3 for r in pfin)
     assert peng.alloc.prefix_hits >= 1, "prefix map never fired under TP"
 
+    # --- speculative x paged x TP engine (r4): the batched verify chunk
+    # runs inside shard_map on head-sharded pools -----------------------
+    pdraft_sharded = shard_quantized_model(
+        _GPT.init(pcfg, key=jax.random.PRNGKey(22)).quantize(), mesh)
+    speng = ContinuousBatchingEngine(pgpt_sharded, max_slots=2, mesh=mesh,
+                                     paged=True, draft_model=pdraft_sharded,
+                                     spec_gamma=3)
+    for t in (11, 13):
+        speng.submit(Request(prompt=[t, t + 1], max_new_tokens=4))
+    sfin = speng.run_to_completion(max_steps=60)
+    assert len(sfin) == 2 and all(r.error is None for r in sfin), \
+        [r.error for r in sfin]
+    assert all(len(r.generated) == 4 for r in sfin)
+
     # --- paged seq2seq engine under TP (r4) --------------------------------
     from qgemm_tpu.serving.seq2seq import Seq2SeqEngine
     s2s_cfg = TransformerConfig(vocab_size=64, d_model=8 * model_par,

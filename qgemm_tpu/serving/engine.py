@@ -384,8 +384,13 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         (``prefill_chunk`` at per-slot offsets); each slot advances by
         its own accepted-prefix length + 1. Transcripts stay EXACTLY the
         target's greedy output (disagreements truncate to the target's
-        token). Dense-cache mode, python scheduler (per-slot
-        variable-length appends). Slots decoded without the draft (a
+        token). Works over BOTH cache tiers: dense, and paged (the verify
+        chunk scatters candidate rows through the page tables and
+        context-attends each slot at its own offset; per-slot reservations
+        grow by spec_extra so rejected-candidate junk rows land in the
+        slot's own pages). The draft keeps a dense cache either way — it
+        is the small model. Python scheduler (per-slot variable-length
+        appends). Slots decoded without the draft (a
         sampling request forces plain steps) leave holes in the draft's
         cache — acceptance drops but exactness is untouched (the
         verifier is the target)."""
@@ -399,10 +404,11 @@ class ContinuousBatchingEngine(_PagedPoolOps):
 
         self.draft = draft_model
         self.spec_gamma = int(spec_gamma)
+        # a spec round writes candidate K/V up to gamma+1 positions past a
+        # slot's current one; every cache extent/reservation must cover it
+        self.spec_extra = (self.spec_gamma + 2) if draft_model is not None \
+            else 0
         if draft_model is not None:
-            assert not paged, \
-                "engine speculative mode is dense-cache (paged spec would " \
-                "need candidate pages per slot)"
             # per-slot variable-length appends need the python bookkeeper
             scheduler = "python"
         if scheduler == "auto":
@@ -438,6 +444,11 @@ class ContinuousBatchingEngine(_PagedPoolOps):
             cfg = model.cfg
             pps = -(-self.max_seq_len // PAGE_SIZE)
             self.max_seq_len = pps * PAGE_SIZE
+            # speculative mode: the verify chunk writes up to spec_extra
+            # rows past a slot's final position — widen the per-slot table
+            # (and reservations below) so those junk rows land in the
+            # slot's own extra page, never clamp-scatter onto a valid one
+            pps += -(-self.spec_extra // PAGE_SIZE)
             npg = n_pages or (1 + max_slots * pps)
             dh = cfg.d_model // cfg.n_heads
             # GQA: pools hold n_kv_heads — 1/g the page bytes of MHA
@@ -452,13 +463,14 @@ class ContinuousBatchingEngine(_PagedPoolOps):
             # speculative mode verifies gamma+1 candidate positions past a
             # slot's current position — the extent must cover them or the
             # clamped chunk write would smear junk over VALID rows
-            extra = (self.spec_gamma + 2) if draft_model is not None else 0
             self.caches = model.init_cache(max_slots,
-                                           self.max_seq_len + extra,
+                                           self.max_seq_len + self.spec_extra,
                                            quantized=quantized_cache)
-            if draft_model is not None:
-                self.draft_caches = draft_model.init_cache(
-                    max_slots, self.max_seq_len + extra)
+        if draft_model is not None:
+            # the draft's own cache stays DENSE in both modes (it is the
+            # small model; paging the target's pool is the capacity win)
+            self.draft_caches = draft_model.init_cache(
+                max_slots, self.max_seq_len + self.spec_extra)
         if mesh is not None:
             if paged:
                 from qgemm_tpu.parallel.sharding import shard_paged_caches
@@ -725,7 +737,10 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                 # then never exhaust the pool. HBM scales with committed
                 # per-request maxima rather than slots x engine max_seq_len
                 # (requests that finish early on EOS release the tail).
-                worst = min(plen + req.max_new_tokens, self.max_seq_len)
+                # spec mode: the verify chunk writes spec_extra junk rows
+                # past the worst-case final position — reserve them too
+                worst = min(plen + req.max_new_tokens, self.max_seq_len) \
+                    + self.spec_extra
                 need = self.alloc.pages_needed(worst, self._page_size)
                 # prefix cache: hash-chain the FULL prompt pages and PEEK
                 # (no acquisition yet — the checks below may reject or
@@ -1083,6 +1098,12 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         """One engine speculative round (all active slots greedy, queue
         empty): draft gamma per slot, verify batched, advance each slot
         by its own accepted block."""
+        if self.paged:
+            # ensure pages for the whole candidate block (admission already
+            # reserved the worst case incl. spec_extra, so this only maps
+            # reserved logical pages in)
+            self._grow_active_slots(active, self.positions,
+                                    ahead=self.spec_extra)
         try:
             (cand, produced, cur_new, lps, self.caches,
              self.draft_caches) = self._spec_round(
@@ -1114,6 +1135,8 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                         float(lps_host[s, i]))
         for slot in np.flatnonzero(active & ~self.book.active_mask()):
             self._lp_slots.pop(int(slot), None)
+            if self.paged:
+                self._release_slot_pages(int(slot))
         self.finished.extend(self.book.drain_finished())
         return True
 
@@ -1138,14 +1161,13 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                 self.max_slots, tmpl.page_table.shape[1])
                 for _ in self.model.blocks]
         else:
-            extra = (self.spec_gamma + 2) if self.draft is not None else 0
             self.caches = self.model.init_cache(
-                self.max_slots, self.max_seq_len + extra,
+                self.max_slots, self.max_seq_len + self.spec_extra,
                 quantized=self.quantized_cache)
-            if self.draft is not None:
-                # the draft caches were donated into the failed round too
-                self.draft_caches = self.draft.init_cache(
-                    self.max_slots, self.max_seq_len + extra)
+        if self.draft is not None:
+            # the draft caches were donated into the failed round too
+            self.draft_caches = self.draft.init_cache(
+                self.max_slots, self.max_seq_len + self.spec_extra)
         if self.mesh is not None:
             if self.paged:
                 from qgemm_tpu.parallel.sharding import shard_paged_caches

@@ -509,3 +509,119 @@ def test_engine_speculative_composes_with_int8_cache():
     ref = run()
     assert all(e is None for _, e in got), got
     assert got == ref
+
+
+def test_engine_speculative_paged_matches_plain_paged():
+    """Speculative decoding over the PAGED cache: the verify chunk
+    scatters candidate rows through the page tables (unaligned per-slot
+    offsets, page-boundary straddles) and transcripts EXACTLY equal the
+    plain paged engine's — for a self-draft and an unrelated random
+    draft, across EOS mid-block, slot churn, and prompts long enough
+    that decode positions cross page boundaries."""
+    cfg = GPTConfig(vocab_size=97, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=2, max_seq_len=256)
+    model = GPT.init(cfg, key=jax.random.PRNGKey(84))
+    probe = ContinuousBatchingEngine(model, max_slots=1, paged=True)
+    pr = Request(prompt=[5, 6, 7], max_new_tokens=6)
+    probe.submit(pr)
+    probe.run_to_completion(max_steps=20)
+    eos = pr.generated[3]
+
+    # one prompt of 125 tokens: its decode block straddles the 128-row
+    # page boundary inside a single verify chunk
+    spec = [([5, 6, 7], 6, eos), ([8, 9], 11, None), ([1] * 125, 7, None),
+            ([2, 3], 9, eos), ([4] * 5, 7, None)]
+
+    def run(**kw):
+        eng = ContinuousBatchingEngine(model, max_slots=2, paged=True, **kw)
+        reqs = [Request(prompt=p, max_new_tokens=m, eos_token=e,
+                        logprobs=True)
+                for p, m, e in spec]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=300)}
+        return eng, [fin[r.id] for r in reqs]
+
+    _, ref = run()
+    ref_out = [(tuple(r.generated), r.error) for r in ref]
+    for draft in (model, GPT.init(cfg, key=jax.random.PRNGKey(85))):
+        eng, got = run(draft_model=draft, spec_gamma=3)
+        out = [(tuple(r.generated), r.error) for r in got]
+        assert all(e is None for _, e in out), out
+        assert out == ref_out, (out, ref_out)
+        for r in got:
+            assert len(r.token_logprobs) == len(r.generated), r
+    # self-draft: fewer scheduler steps than tokens (blocks accepted)
+    assert eng.steps < sum(len(r.generated) for r in got)
+    # all pages returned to the pool after completion
+    assert eng.alloc.n_free + len(eng.alloc.cached) \
+        == eng.caches[0].n_pages - 1
+
+
+def test_engine_speculative_paged_composes_with_prefix_cache():
+    """spec x paged x prefix caching: repeated >=128-token prompts share
+    prefix pages AND verify speculatively; transcripts equal the plain
+    paged engine and prefix hits fire (spec rounds write only at decode
+    positions, never into shared prompt pages)."""
+    cfg = GPTConfig(vocab_size=97, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=2, max_seq_len=384)
+    model = GPT.init(cfg, key=jax.random.PRNGKey(86))
+    shared = list((np.arange(130) % 89) + 1)
+    spec = [(shared + [7 + i], 6) for i in range(4)]
+
+    def run(**kw):
+        eng = ContinuousBatchingEngine(model, max_slots=2, paged=True, **kw)
+        reqs = [Request(prompt=p, max_new_tokens=m) for p, m in spec]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=200)}
+        return eng, [(tuple(fin[r.id].generated), fin[r.id].error)
+                     for r in reqs]
+
+    eng, got = run(draft_model=model, spec_gamma=3)
+    _, ref = run()
+    assert all(e is None for _, e in got), got
+    assert got == ref
+    assert eng.alloc.prefix_hits > 0
+
+
+def test_engine_speculative_paged_gqa_tp_matches_single_device():
+    """The full composite: speculative x paged x GQA x TP — the verify
+    chunk runs inside shard_map on head-sharded pools and transcripts
+    match the single-device paged spec engine (which matches plain)."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from qgemm_tpu.parallel.mesh import make_mesh
+    from qgemm_tpu.parallel.sharding import shard_quantized_model
+
+    cfg = GPTConfig(vocab_size=97, d_model=64, n_heads=8, n_kv_heads=4,
+                    d_ff=128, n_layers=2, max_seq_len=256)
+    model = GPT.init(cfg, key=jax.random.PRNGKey(87)).quantize()
+    draft = GPT.init(cfg, key=jax.random.PRNGKey(88)).quantize()
+    mesh = make_mesh((2, 4), ("data", "model"))
+    ms = shard_quantized_model(model, mesh)
+    ds = shard_quantized_model(draft, mesh)
+
+    def run(m, d, **kw):
+        eng = ContinuousBatchingEngine(m, max_slots=2, paged=True,
+                                       draft_model=d, spec_gamma=3, **kw)
+        reqs = [Request(prompt=[3 + i] * (20 + 5 * i), max_new_tokens=6)
+                for i in range(3)]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=100)}
+        return [(tuple(fin[r.id].generated), fin[r.id].error) for r in reqs]
+
+    tp = run(ms, ds, mesh=mesh)
+    sd = run(model, draft)
+    plain = []
+    eng = ContinuousBatchingEngine(model, max_slots=2, paged=True)
+    reqs = [Request(prompt=[3 + i] * (20 + 5 * i), max_new_tokens=6)
+            for i in range(3)]
+    for r in reqs:
+        eng.submit(r)
+    fin = {r.id: r for r in eng.run_to_completion(max_steps=100)}
+    plain = [(tuple(fin[r.id].generated), fin[r.id].error) for r in reqs]
+    assert all(e is None for _, e in tp), tp
+    assert tp == sd == plain
