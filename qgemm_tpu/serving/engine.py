@@ -378,22 +378,26 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         Admissions are never delayed: any waiting request drops the
         engine back to single steps until admitted.
         ``draft_model``: CONTINUOUS-BATCHING SPECULATIVE DECODING — when
-        every active slot is greedy and nothing waits, each step drafts
-        ``spec_gamma`` tokens per slot (batched draft decode scan) and
-        verifies ALL slots in one batched multi-token target forward
-        (``prefill_chunk`` at per-slot offsets); each slot advances by
-        its own accepted-prefix length + 1. Transcripts stay EXACTLY the
-        target's greedy output (disagreements truncate to the target's
-        token). Works over BOTH cache tiers: dense, and paged (the verify
+        nothing waits for a slot, each step drafts ``spec_gamma`` tokens
+        per slot (batched draft decode scan) and verifies ALL slots in
+        one batched multi-token target forward (``prefill_chunk`` at
+        per-slot offsets); each slot advances by its own accepted-prefix
+        length + 1. Verification is STOCHASTIC (Leviathan rejection
+        sampling with each slot's own temperature/top-k/top-p), so
+        speculation serves MIXED batches: sampled slots' token streams
+        are distributed exactly as sequential warped-target sampling,
+        and temperature-0 slots degenerate to exact greedy verification
+        — their transcripts stay bit-equal to the plain engine's.
+        Works over BOTH cache tiers: dense, and paged (the verify
         chunk scatters candidate rows through the page tables and
         context-attends each slot at its own offset; per-slot reservations
         grow by spec_extra so rejected-candidate junk rows land in the
         slot's own pages). The draft keeps a dense cache either way — it
         is the small model. Python scheduler (per-slot variable-length
-        appends). Slots decoded without the draft (a
-        sampling request forces plain steps) leave holes in the draft's
-        cache — acceptance drops but exactness is untouched (the
-        verifier is the target)."""
+        appends). Slots decoded without the draft (admission pressure
+        forces plain steps) leave holes in the draft's cache —
+        acceptance drops but exactness is untouched (the verifier is
+        the target)."""
         self.model = model
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len or model.cfg.max_seq_len
@@ -498,7 +502,6 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         self._decode_multi = jax.jit(self._decode_multi_impl,
                                      donate_argnums=(3,),
                                      static_argnames=("n",))
-        self._slot_greedy = np.ones((max_slots,), bool)
         if draft_model is not None:
             self._spec_round = jax.jit(self._spec_round_impl,
                                        donate_argnums=(4, 5),
@@ -567,34 +570,69 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         return [jax.tree.map(scatter, c, t) for c, t in zip(caches, tmp)]
 
     def _spec_round_impl(self, model, draft, cur, pos, caches, dcaches,
-                         gamma):
-        """One batched speculative round over ALL slots (greedy): the
-        draft scans gamma+1 decode steps (the extra step closes the
+                         key, temps, topps, topks, gamma):
+        """One batched speculative round over ALL slots, STOCHASTIC
+        (Leviathan rejection sampling, per-slot sampling params): the
+        draft scans gamma+1 decode steps sampling each proposal from its
+        own warped distribution q (the extra step closes the
         full-acceptance cache hole), the target verifies every slot's
-        candidate block in ONE multi-token forward at per-slot offsets,
-        and each slot advances by its own accepted prefix + 1 (the
-        target's fix token). cur [B,1]; pos [B]. Returns (cand
-        [B,gamma+1], produced [B], cur_new [B], lps [B,gamma+1],
-        caches, dcaches)."""
-        def dstep(carry, j):
-            tok, dc = carry
-            logits, dc = draft.decode_step(tok, pos + j, dc)
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return (nxt[:, None], dc), nxt
+        candidate block in ONE multi-token forward at per-slot offsets
+        and warps each position with the slot's temperature/top-k/top-p;
+        proposal x_i accepts with prob min(1, p_i(x_i)/q_i(x_i)), the
+        first rejection resamples from the leftover norm(max(0, p-q)),
+        full acceptance samples a bonus token from p_gamma — each slot's
+        token stream is distributed EXACTLY as sequential warped-target
+        sampling. temperature <= 1e-6 slots degenerate to exact greedy
+        speculation (both warps become one-hots: acceptance == argmax
+        agreement, the leftover is the target's argmax), so greedy
+        transcripts stay bit-equal to the plain engine. cur [B,1];
+        pos/temps/topps/topks [B]. Returns (cand [B,gamma+1],
+        produced [B], cur_new [B], lps [B,gamma+1], caches, dcaches)."""
+        from qgemm_tpu.ops.sampling import warped_probs
+        warp = lambda lg: warped_probs(lg, temps, topks, topps)   # [B, V]
+        kd, kacc, kextra = jax.random.split(key, 3)
 
-        (_, dcaches), props = jax.lax.scan(dstep, (cur, dcaches),
-                                           jnp.arange(gamma + 1))
+        def dstep(carry, j):
+            tok, dc, k = carry
+            k, ks = jax.random.split(k)
+            logits, dc = draft.decode_step(tok, pos + j, dc)
+            q = warp(logits)                                  # [B, V]
+            nxt = jax.random.categorical(ks, jnp.log(q),
+                                         axis=-1).astype(jnp.int32)
+            return (nxt[:, None], dc, k), (nxt, q)
+
+        (_, dcaches, _), (props, qs) = jax.lax.scan(
+            dstep, (cur, dcaches, kd), jnp.arange(gamma + 1))
         d = props[:gamma].T                                  # [B, gamma]
+        qs = qs[:gamma].transpose(1, 0, 2)                   # [B, gamma, V]
         seq = jnp.concatenate([cur, d], axis=1)              # [B, gamma+1]
         tlogits, caches = model.prefill_chunk(seq, pos, caches)
-        g = jnp.argmax(tlogits, axis=-1).astype(jnp.int32)   # [B, gamma+1]
-        acc = jnp.cumprod((d == g[:, :gamma]).astype(jnp.int32), axis=1)
+        p = jax.vmap(warp, in_axes=1, out_axes=1)(
+            tlogits)                                         # [B, gamma+1, V]
+
+        px = jnp.take_along_axis(p[:, :gamma], d[..., None],
+                                 axis=2)[..., 0]             # [B, gamma]
+        qx = jnp.take_along_axis(qs, d[..., None], axis=2)[..., 0]
+        u = jax.random.uniform(kacc, d.shape)
+        acc = jnp.cumprod((u * qx < px).astype(jnp.int32), axis=1)
         n_acc = jnp.sum(acc, axis=1)                         # [B]
+
+        # the extra token at the first rejection: leftover distribution
+        # norm(max(0, p - q)); after full acceptance q is defined 0 at the
+        # bonus position, making the leftover = p_gamma itself
+        q_pad = jnp.concatenate([qs, jnp.zeros_like(qs[:, :1])], axis=1)
+        p_at = jnp.take_along_axis(p, n_acc[:, None, None], axis=1)[:, 0]
+        q_at = jnp.take_along_axis(q_pad, n_acc[:, None, None],
+                                   axis=1)[:, 0]
+        resid = jnp.maximum(p_at - q_at, 0.0)
+        dist = jnp.where((jnp.sum(resid, axis=1) > 1e-9)[:, None],
+                         resid, p_at)
+        extra = jax.random.categorical(kextra, jnp.log(dist),
+                                       axis=-1).astype(jnp.int32)  # [B]
+
         idx = jnp.arange(gamma + 1)[None, :]
         dpad = jnp.concatenate([d, d[:, -1:]], axis=1)
-        fix = jnp.take_along_axis(g, jnp.minimum(n_acc, gamma)[:, None],
-                                  axis=1)
-        cand = jnp.where(idx < n_acc[:, None], dpad, fix)
+        cand = jnp.where(idx < n_acc[:, None], dpad, extra[:, None])
         produced = n_acc + 1
         cur_new = jnp.take_along_axis(cand, (produced - 1)[:, None],
                                       axis=1)[:, 0]
@@ -894,7 +932,6 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                 jnp.float32(req.temperature), jnp.float32(req.top_p),
                 jnp.int32(eff_topk))
             self.tokens_generated += 1
-            self._slot_greedy[slot] = req.temperature <= 1e-6
             if req.logprobs:
                 req.token_logprobs.append(float(first_lp))
                 self._lp_slots[slot] = req
@@ -1023,8 +1060,7 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         active = self.book.active_mask()
         if not active.any():
             return False
-        if (self.draft is not None and self.book.num_waiting == 0
-                and bool(self._slot_greedy[np.flatnonzero(active)].all())):
+        if self.draft is not None and self.book.num_waiting == 0:
             return self._spec_step(active)
         # multi-step block only when nothing waits for a slot (admissions
         # are never delayed by an in-flight block)
@@ -1104,11 +1140,13 @@ class ContinuousBatchingEngine(_PagedPoolOps):
             # reserved logical pages in)
             self._grow_active_slots(active, self.positions,
                                     ahead=self.spec_extra)
+        self._key, sub = jax.random.split(self._key)
         try:
             (cand, produced, cur_new, lps, self.caches,
              self.draft_caches) = self._spec_round(
                 self.model, self.draft, self.cur_tokens, self.positions,
-                self.caches, self.draft_caches, gamma=self.spec_gamma)
+                self.caches, self.draft_caches, sub, self.temps,
+                self.topps, self.topks, gamma=self.spec_gamma)
         except Exception as e:  # noqa: BLE001 — both cache sets were
             # donated; engine-level recovery (same as decode)
             self._recover_from_decode_fault(e)

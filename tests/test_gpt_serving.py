@@ -467,10 +467,11 @@ def test_engine_speculative_matches_plain():
     assert eng.steps < sum(len(r.generated) for r in got)
 
 
-def test_engine_speculative_disengages_for_sampling():
-    """A temperature>0 request drops the engine to plain decode (greedy
-    slots still produce target transcripts; the sampled request gets
-    served); speculation resumes after it finishes."""
+def test_engine_speculative_sampling_coexists_with_greedy():
+    """A temperature>0 request no longer disengages speculation (r4:
+    stochastic verification serves it in-round); either way the greedy
+    slot's transcript stays the plain engine's exact output and the
+    sampled request gets served."""
     model = _model(seed=83)
     eng = ContinuousBatchingEngine(model, max_slots=2,
                                    draft_model=model, spec_gamma=3, seed=5)
@@ -625,3 +626,108 @@ def test_engine_speculative_paged_gqa_tp_matches_single_device():
     plain = [(tuple(fin[r.id].generated), fin[r.id].error) for r in reqs]
     assert all(e is None for _, e in tp), tp
     assert tp == sd == plain
+
+
+def test_engine_spec_round_matches_target_distribution():
+    """The engine's stochastic verify round produces first-round tokens
+    distributed EXACTLY as warped-target sampling (Leviathan guarantee,
+    batched, per-slot params): empirical marginal of each slot's first
+    accepted token vs the analytic warped distribution, with a
+    mismatched draft forcing frequent rejections — and the draft's own
+    distribution measurably OFF, so the test discriminates."""
+    from qgemm_tpu.ops.sampling import warped_probs
+
+    cfg = GPTConfig(vocab_size=8, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=2, max_seq_len=32)
+    target = GPT.init(cfg, key=jax.random.PRNGKey(21))
+    draft = GPT.init(cfg, key=jax.random.PRNGKey(22))
+    eng = ContinuousBatchingEngine(target, max_slots=4, draft_model=draft,
+                                   spec_gamma=3)
+
+    b, v, temp = 4, 8, 1.0
+    prompt = jnp.tile(jnp.asarray([[1, 2, 3]]), (b, 1))
+    tc = target.init_cache(b, 16)
+    _, tc = target.prefill(prompt, tc)
+    dc = draft.init_cache(b, 16)
+    _, dc = draft.prefill(prompt, dc)
+    cur = jnp.full((b, 1), 4, jnp.int32)
+    pos = jnp.full((b,), 3, jnp.int32)
+    temps = jnp.full((b,), temp, jnp.float32)
+    topps = jnp.ones((b,), jnp.float32)
+    topks = jnp.zeros((b,), jnp.int32)
+
+    round_fn = jax.jit(jax.vmap(
+        lambda k: eng._spec_round_impl(
+            target, draft, cur, pos, tc, dc, k, temps, topps, topks,
+            3)[0][:, 0]))
+    n_keys = 512
+    t1 = np.asarray(round_fn(
+        jax.random.split(jax.random.PRNGKey(7), n_keys))).reshape(-1)
+
+    # analytic warped target / draft distributions at this position
+    lt, _ = target.decode_step(cur[:1], 3, jax.tree.map(
+        lambda x: x[:1] if hasattr(x, 'shape') and x.shape[:1] == (b,)
+        else x, tc))
+    p = np.asarray(warped_probs(lt, jnp.asarray([temp])))[0]
+    ld, _ = draft.decode_step(cur[:1], 3, jax.tree.map(
+        lambda x: x[:1] if hasattr(x, 'shape') and x.shape[:1] == (b,)
+        else x, dc))
+    q = np.asarray(warped_probs(ld, jnp.asarray([temp])))[0]
+
+    emp = np.bincount(t1, minlength=v) / t1.size
+    tv_spec = 0.5 * np.abs(emp - p).sum()
+    tv_draft = 0.5 * np.abs(q - p).sum()
+    assert tv_draft > 0.2, f"models too similar to discriminate ({tv_draft})"
+    # 2048 samples over 8 cells: noise ~0.02 TV; 0.08 is comfortable
+    assert tv_spec < 0.08, (tv_spec, tv_draft)
+    assert tv_spec < 0.4 * tv_draft
+
+
+def test_engine_speculative_serves_mixed_sampling_batch():
+    """Stochastic verification keeps speculation ENGAGED for mixed
+    batches: a greedy slot co-resident with temperature>0 slots still
+    produces the plain engine's exact greedy transcript, sampled slots
+    complete, and blocks are accepted (fewer engine steps than tokens
+    with a self-draft)."""
+    model = _model(seed=90)
+    eng = ContinuousBatchingEngine(model, max_slots=3, draft_model=model,
+                                   spec_gamma=3, seed=11)
+    g = Request(prompt=[5, 6], max_new_tokens=12)
+    h1 = Request(prompt=[7, 8], max_new_tokens=10, temperature=0.9)
+    h2 = Request(prompt=[9], max_new_tokens=8, temperature=1.2, top_p=0.9)
+    for r in (g, h1, h2):
+        eng.submit(r)
+    fin = {r.id: r for r in eng.run_to_completion(max_steps=100)}
+    assert all(fin[r.id].error is None for r in (g, h1, h2))
+    assert len(fin[h1.id].generated) == 10
+    assert len(fin[h2.id].generated) == 8
+
+    ref = ContinuousBatchingEngine(model, max_slots=1)
+    r2 = Request(prompt=[5, 6], max_new_tokens=12)
+    ref.submit(r2)
+    ref.run_to_completion(max_steps=50)
+    assert fin[g.id].generated == r2.generated
+    # self-draft accepts greedy blocks: fewer steps than total tokens
+    assert eng.steps < sum(len(fin[r.id].generated) for r in (g, h1, h2))
+
+
+def test_engine_speculative_tiny_temperature_degenerates_to_greedy():
+    """temperature <= 1e-6 slots run the greedy limit of the rejection
+    sampler: transcripts equal the plain greedy engine exactly."""
+    model = _model(seed=91)
+    eng = ContinuousBatchingEngine(model, max_slots=2, draft_model=model,
+                                   spec_gamma=3, seed=3)
+    reqs = [Request(prompt=[3 + i, 4], max_new_tokens=9, temperature=1e-9)
+            for i in range(2)]
+    for r in reqs:
+        eng.submit(r)
+    fin = {r.id: r for r in eng.run_to_completion(max_steps=60)}
+
+    ref = ContinuousBatchingEngine(model, max_slots=2)
+    refs = [Request(prompt=[3 + i, 4], max_new_tokens=9) for i in range(2)]
+    for r in refs:
+        ref.submit(r)
+    rfin = {r.id: r for r in ref.run_to_completion(max_steps=60)}
+    got = [fin[r.id].generated for r in reqs]
+    want = [rfin[r.id].generated for r in refs]
+    assert got == want
