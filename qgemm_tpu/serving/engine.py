@@ -506,6 +506,9 @@ class ContinuousBatchingEngine(_PagedPoolOps):
             self._spec_round = jax.jit(self._spec_round_impl,
                                        donate_argnums=(4, 5),
                                        static_argnames=("gamma",))
+            self._spec_multi = jax.jit(self._spec_multi_impl,
+                                       donate_argnums=(4, 5),
+                                       static_argnames=("gamma", "n"))
             self._draft_prefill = jax.jit(self._draft_prefill_impl,
                                           static_argnames=("plen",))
         # ONE dispatch for the five per-slot state writes at admission
@@ -639,6 +642,34 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         lps = jax.nn.log_softmax(tlogits.astype(jnp.float32), axis=-1)
         lps = jnp.take_along_axis(lps, cand[..., None], axis=2)[..., 0]
         return cand, produced, cur_new, lps, caches, dcaches
+
+    def _spec_multi_impl(self, model, draft, cur, pos, caches, dcaches,
+                         key, temps, topps, topks, gamma, n):
+        """``n`` speculative rounds in ONE dispatch (lax.scan over
+        ``_spec_round_impl``) — the multi_step treatment applied to
+        speculation: per-round host round trips amortize n-fold ON TOP of
+        each round's (accepted+1)-tokens-per-target-pass. Positions chain
+        through the scan (each round starts where the previous one's
+        accepted block ended — per-slot, data-dependent); slots finishing
+        mid-scan junk-decode into their own reserved region (the
+        padded-decode contract: clamped/dropped writes land in the slot's
+        own pages or extent tail, never another slot's — host bookkeeping
+        replays the rounds in order and discards post-finish junk).
+        Returns stacked per-round (cands [n,B,gamma+1], produceds [n,B],
+        lps [n,B,gamma+1]) + final (cur, pos, caches, dcaches)."""
+        def sub(carry, k):
+            cur, pos, caches, dcaches = carry
+            cand, produced, cur_new, lps, caches, dcaches = \
+                self._spec_round_impl(model, draft, cur, pos, caches,
+                                      dcaches, k, temps, topps, topks,
+                                      gamma)
+            return (cur_new[:, None], pos + produced, caches, dcaches), \
+                (cand, produced, lps)
+
+        (cur, pos, caches, dcaches), (cands, produceds, lpss) = \
+            jax.lax.scan(sub, (cur, pos, caches, dcaches),
+                         jax.random.split(key, n))
+        return cands, produceds, lpss, cur, pos, caches, dcaches
 
     def _decode_multi_impl(self, model, tok, pos, caches, key, temps,
                            topps, topks, n):
@@ -1131,46 +1162,66 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         return True
 
     def _spec_step(self, active):
-        """One engine speculative round (all active slots greedy, queue
-        empty): draft gamma per slot, verify batched, advance each slot
-        by its own accepted block."""
+        """One engine speculative dispatch (queue empty): draft gamma per
+        slot, verify batched, advance each slot by its own accepted
+        block. With ``multi_step`` > 1, ``multi_step`` ROUNDS run as one
+        device dispatch (``_spec_multi_impl``) and the host replays them
+        in order — RTT amortization stacked on top of speculation's
+        (accepted+1) tokens per target pass."""
+        n = self.multi_step if self.multi_step > 1 else 1
         if self.paged:
-            # ensure pages for the whole candidate block (admission already
-            # reserved the worst case incl. spec_extra, so this only maps
-            # reserved logical pages in)
+            # ensure pages for the whole dispatch's candidate blocks
+            # (admission already reserved the worst case incl. spec_extra,
+            # so this only maps reserved logical pages in; grow clamps at
+            # the reservation — junk writes past it drop to the null page)
             self._grow_active_slots(active, self.positions,
-                                    ahead=self.spec_extra)
+                                    ahead=n * self.spec_extra)
         self._key, sub = jax.random.split(self._key)
         try:
-            (cand, produced, cur_new, lps, self.caches,
-             self.draft_caches) = self._spec_round(
-                self.model, self.draft, self.cur_tokens, self.positions,
-                self.caches, self.draft_caches, sub, self.temps,
-                self.topps, self.topks, gamma=self.spec_gamma)
+            if n > 1:
+                (cands, produceds, lpss, cur_new, pos_new, self.caches,
+                 self.draft_caches) = self._spec_multi(
+                    self.model, self.draft, self.cur_tokens, self.positions,
+                    self.caches, self.draft_caches, sub, self.temps,
+                    self.topps, self.topks, gamma=self.spec_gamma, n=n)
+            else:
+                (cand, produced, cur_new, lps, self.caches,
+                 self.draft_caches) = self._spec_round(
+                    self.model, self.draft, self.cur_tokens, self.positions,
+                    self.caches, self.draft_caches, sub, self.temps,
+                    self.topps, self.topks, gamma=self.spec_gamma)
+                cands, produceds = cand[None], produced[None]
+                lpss = lps[None]
+                pos_new = self.positions + produced
         except Exception as e:  # noqa: BLE001 — both cache sets were
             # donated; engine-level recovery (same as decode)
             self._recover_from_decode_fault(e)
             return True
-        self.positions = self.positions \
-            + jnp.asarray(active, jnp.int32) * produced
-        self.cur_tokens = cur_new[:, None]
-        cand_host = np.asarray(cand)
-        produced_host = np.asarray(produced)
-        # snapshot request refs/lengths: the deltas after record_block are
-        # exactly what the book accepted (EOS/max_new truncate mid-block)
+        act = jnp.asarray(active)
+        self.positions = jnp.where(act, pos_new, self.positions)
+        self.cur_tokens = jnp.where(act[:, None], cur_new.reshape(-1, 1),
+                                    self.cur_tokens)
+        cands_host = np.asarray(cands)                  # [n, B, gamma+1]
+        produceds_host = np.asarray(produceds)          # [n, B]
+        lps_host = np.asarray(lpss) if self._lp_slots else None
+        # replay rounds in order; the bookkeeper truncates each slot at
+        # EOS/max_new and ignores post-finish junk rounds
         reqs_before = {int(s): self.book.slot_req[int(s)]
                        for s in np.flatnonzero(active)
                        if int(s) in self.book.slot_req}
-        lens_before = {s: len(r.generated) for s, r in reqs_before.items()}
-        self.book.record_block(cand_host, produced_host)
-        lps_host = np.asarray(lps) if self._lp_slots else None
-        for s, r in reqs_before.items():
-            delta = len(r.generated) - lens_before[s]
-            self.tokens_generated += delta
-            if lps_host is not None and s in self._lp_slots:
-                for i in range(delta):
-                    self._lp_slots[s].token_logprobs.append(
-                        float(lps_host[s, i]))
+        for i in range(cands_host.shape[0]):
+            if not self.book.active_mask().any():
+                break
+            lens_before = {s: len(r.generated)
+                           for s, r in reqs_before.items()}
+            self.book.record_block(cands_host[i], produceds_host[i])
+            for s, r in reqs_before.items():
+                delta = len(r.generated) - lens_before[s]
+                self.tokens_generated += delta
+                if lps_host is not None and s in self._lp_slots:
+                    for j in range(delta):
+                        self._lp_slots[s].token_logprobs.append(
+                            float(lps_host[i, s, j]))
         for slot in np.flatnonzero(active & ~self.book.active_mask()):
             self._lp_slots.pop(int(slot), None)
             if self.paged:

@@ -731,3 +731,42 @@ def test_engine_speculative_tiny_temperature_degenerates_to_greedy():
     got = [fin[r.id].generated for r in reqs]
     want = [rfin[r.id].generated for r in refs]
     assert got == want
+
+
+def test_engine_speculative_multi_step_matches_single():
+    """spec x multi_step: K speculative ROUNDS per device dispatch (one
+    lax.scan) replayed on the host — greedy transcripts stay exactly the
+    plain engine's across EOS mid-block and slot churn, dense AND paged."""
+    cfg = GPTConfig(vocab_size=97, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=2, max_seq_len=256)
+    model = GPT.init(cfg, key=jax.random.PRNGKey(92))
+    probe = ContinuousBatchingEngine(model, max_slots=1)
+    pr = Request(prompt=[5, 6, 7], max_new_tokens=6)
+    probe.submit(pr)
+    probe.run_to_completion(max_steps=20)
+    eos = pr.generated[3]
+    spec = [([5, 6, 7], 6, eos), ([8, 9], 11, None), ([1] * 7, 14, None),
+            ([2, 3], 9, eos)]
+
+    def run(**kw):
+        eng = ContinuousBatchingEngine(model, max_slots=2, **kw)
+        reqs = [Request(prompt=p, max_new_tokens=m, eos_token=e,
+                        logprobs=True)
+                for p, m, e in spec]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=300)}
+        return eng, [fin[r.id] for r in reqs]
+
+    _, ref = run()
+    ref_out = [(tuple(r.generated), r.error) for r in ref]
+    for paged in (False, True):
+        eng, got = run(draft_model=model, spec_gamma=3, multi_step=3,
+                       paged=paged)
+        out = [(tuple(r.generated), r.error) for r in got]
+        assert all(e is None for _, e in out), (paged, out)
+        assert out == ref_out, (paged, out, ref_out)
+        for r in got:
+            assert len(r.token_logprobs) == len(r.generated), r
+        # K rounds per dispatch on top of accepted blocks: very few steps
+        assert eng.steps < sum(len(r.generated) for r in got)
