@@ -162,6 +162,36 @@ int32_t qg_sched_record_step(void *h, const int32_t *tokens) {
   return (int32_t)(s->finished.size() - fin_before);
 }
 
+// Record one SPECULATIVE round: each active slot appends its own accepted
+// candidate block (variable length per slot). cands is [max_slots, width]
+// row-major, produced[max_slots] the per-slot accepted count; finish rules
+// (EOS / max_new / context limit) truncate mid-block and the remainder of
+// that slot's block is ignored. accepted_out[max_slots] receives the
+// per-slot count actually appended (post-truncation — the engine's token
+// accounting and logprob alignment need it). One scheduler step.
+// Returns #finished now.
+int32_t qg_sched_record_block(void *h, const int32_t *cands,
+                              const int32_t *produced, int32_t width,
+                              int32_t *accepted_out) {
+  auto *s = static_cast<Scheduler *>(h);
+  std::lock_guard<std::mutex> g(s->mu);
+  size_t fin_before = s->finished.size();
+  for (int32_t slot = 0; slot < s->max_slots; ++slot) {
+    accepted_out[slot] = 0;
+    if (!s->active[slot]) continue;
+    int32_t n = produced[slot];
+    if (n > width) n = width;
+    for (int32_t i = 0; i < n && s->active[slot]; ++i) {
+      s->positions[slot] += 1;
+      s->slot_req.at(slot).generated.push_back(cands[slot * width + i]);
+      accepted_out[slot] += 1;
+      s->finish_if_done(slot);
+    }
+  }
+  s->steps += 1;
+  return (int32_t)(s->finished.size() - fin_before);
+}
+
 void qg_sched_active_mask(void *h, uint8_t *out) {
   auto *s = static_cast<Scheduler *>(h);
   std::lock_guard<std::mutex> g(s->mu);

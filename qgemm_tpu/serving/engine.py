@@ -124,7 +124,9 @@ class _PyBookkeeper:
     def record_block(self, cands: np.ndarray, produced: np.ndarray):
         """Speculative round: append each active slot's own accepted
         candidate block (variable length per slot), honoring EOS /
-        max_new truncation mid-block. One scheduler step."""
+        max_new truncation mid-block. One scheduler step. Returns the
+        per-slot count actually appended (post-truncation)."""
+        accepted = np.zeros(self.max_slots, np.int32)
         for slot in np.flatnonzero(self.active):
             req = self.slot_req.get(int(slot))
             for i in range(int(produced[slot])):
@@ -132,8 +134,10 @@ class _PyBookkeeper:
                     break
                 self.pos[slot] += 1
                 req.generated.append(int(cands[slot, i]))
+                accepted[slot] += 1
                 self._maybe_finish(int(slot))
         self.steps += 1
+        return accepted
 
     def cancel(self, req_id: int):
         """-> ("waiting", Request) | ("active", slot) | None. An active
@@ -189,6 +193,9 @@ class _NativeBookkeeper:
 
     def record_step(self, tokens: np.ndarray):
         self._sched.record_step(tokens)
+
+    def record_block(self, cands: np.ndarray, produced: np.ndarray):
+        return self._sched.record_block(cands, produced)
 
     def cancel(self, req_id: int):
         res = self._sched.cancel(req_id)
@@ -393,8 +400,9 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         context-attends each slot at its own offset; per-slot reservations
         grow by spec_extra so rejected-candidate junk rows land in the
         slot's own pages). The draft keeps a dense cache either way — it
-        is the small model. Python scheduler (per-slot variable-length
-        appends). Slots decoded without the draft (admission pressure
+        is the small model. Works with both scheduler backends (the C++
+        scheduler replays accepted blocks natively). Slots decoded
+        without the draft (admission pressure
         forces plain steps) leave holes in the draft's cache —
         acceptance drops but exactness is untouched (the verifier is
         the target)."""
@@ -412,9 +420,9 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         # slot's current one; every cache extent/reservation must cover it
         self.spec_extra = (self.spec_gamma + 2) if draft_model is not None \
             else 0
-        if draft_model is not None:
-            # per-slot variable-length appends need the python bookkeeper
-            scheduler = "python"
+        # speculative mode works with BOTH scheduler backends: the C++
+        # scheduler's qg_sched_record_block replays per-slot variable-
+        # length accepted blocks with the same truncation rules
         if scheduler == "auto":
             from qgemm_tpu.serving import native
             scheduler = "native" if native.available() else "python"
@@ -1205,23 +1213,18 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         produceds_host = np.asarray(produceds)          # [n, B]
         lps_host = np.asarray(lpss) if self._lp_slots else None
         # replay rounds in order; the bookkeeper truncates each slot at
-        # EOS/max_new and ignores post-finish junk rounds
-        reqs_before = {int(s): self.book.slot_req[int(s)]
-                       for s in np.flatnonzero(active)
-                       if int(s) in self.book.slot_req}
+        # EOS/max_new and ignores post-finish junk rounds, returning the
+        # per-slot counts actually appended (both backends)
         for i in range(cands_host.shape[0]):
             if not self.book.active_mask().any():
                 break
-            lens_before = {s: len(r.generated)
-                           for s, r in reqs_before.items()}
-            self.book.record_block(cands_host[i], produceds_host[i])
-            for s, r in reqs_before.items():
-                delta = len(r.generated) - lens_before[s]
-                self.tokens_generated += delta
-                if lps_host is not None and s in self._lp_slots:
-                    for j in range(delta):
-                        self._lp_slots[s].token_logprobs.append(
-                            float(lps_host[i, s, j]))
+            accepted = self.book.record_block(cands_host[i],
+                                              produceds_host[i])
+            self.tokens_generated += int(accepted.sum())
+            if lps_host is not None:
+                for s, r in list(self._lp_slots.items()):
+                    for j in range(int(accepted[s])):
+                        r.token_logprobs.append(float(lps_host[i, s, j]))
         for slot in np.flatnonzero(active & ~self.book.active_mask()):
             self._lp_slots.pop(int(slot), None)
             if self.paged:

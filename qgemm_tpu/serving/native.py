@@ -44,6 +44,9 @@ def _load():
     lib.qg_sched_admitted.restype = c.c_int
     lib.qg_sched_record_step.argtypes = [c.c_void_p, i32p]
     lib.qg_sched_record_step.restype = i32
+    lib.qg_sched_record_block.argtypes = [c.c_void_p, i32p, i32p, i32,
+                                          i32p]
+    lib.qg_sched_record_block.restype = i32
     lib.qg_sched_active_mask.argtypes = [c.c_void_p, u8p]
     lib.qg_sched_positions.argtypes = [c.c_void_p, i32p]
     for name in ("num_waiting", "num_active", "num_finished"):
@@ -126,6 +129,20 @@ class NativeScheduler:
         arr, ptr = _i32arr(tokens)
         assert len(arr) == self.max_slots
         return self._lib.qg_sched_record_step(self._h, ptr)
+
+    def record_block(self, cands, produced) -> np.ndarray:
+        """Speculative round: per-slot variable-length accepted blocks.
+        cands [max_slots, width]; produced [max_slots]. Returns the
+        per-slot count actually appended (post EOS/max_new truncation)."""
+        cands = np.ascontiguousarray(cands, np.int32)
+        assert cands.ndim == 2 and cands.shape[0] == self.max_slots
+        carr, cptr = _i32arr(cands.reshape(-1))
+        parr, pptr = _i32arr(produced)
+        assert len(parr) == self.max_slots
+        acc, aptr = _i32arr(np.zeros(self.max_slots, np.int32))
+        self._lib.qg_sched_record_block(self._h, cptr, pptr,
+                                        cands.shape[1], aptr)
+        return acc
 
     def active_mask(self) -> np.ndarray:
         out = np.zeros(self.max_slots, np.uint8)

@@ -79,3 +79,39 @@ def test_scheduler_rejects_oversize():
     s = native.NativeScheduler(max_slots=1, max_seq_len=8)
     with pytest.raises(ValueError):
         s.submit(1, [0] * 6, max_new_tokens=4)
+
+
+def test_record_block_matches_python_bookkeeper():
+    """qg_sched_record_block: per-slot variable-length accepted blocks with
+    EOS/max_new truncation — the native scheduler serves SPECULATIVE
+    engines with transcripts and logprobs identical to the python
+    bookkeeper."""
+    import jax
+
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+
+    cfg = GPTConfig(vocab_size=97, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=2, max_seq_len=64)
+    m = GPT.init(cfg, key=jax.random.PRNGKey(0))
+    probe = ContinuousBatchingEngine(m, max_slots=1)
+    pr = Request(prompt=[5, 6], max_new_tokens=6)
+    probe.submit(pr)
+    probe.run_to_completion(max_steps=20)
+    eos = pr.generated[3]
+
+    def run(sched):
+        eng = ContinuousBatchingEngine(m, max_slots=2, draft_model=m,
+                                       spec_gamma=3, scheduler=sched)
+        reqs = [Request(prompt=[5 + i, 6], max_new_tokens=8,
+                        eos_token=eos if i == 0 else None, logprobs=True)
+                for i in range(3)]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=100)}
+        assert eng.scheduler == sched
+        return [(tuple(fin[r.id].generated),
+                 tuple(round(x, 5) for x in fin[r.id].token_logprobs),
+                 fin[r.id].error) for r in reqs]
+
+    assert run("native") == run("python")
