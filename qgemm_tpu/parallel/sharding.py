@@ -44,6 +44,13 @@ def _path_str(path) -> str:
 
 def _spec_for_leaf(path, leaf):
     p = _path_str(path)
+    if "ffn" in p and getattr(leaf, "ndim", 0) == 3:
+        # MoE expert-stacked tensors [E, ...] (w_up/w_down values or their
+        # [E, 1, out] scales): shard the EXPERT dim over the model axis —
+        # expert parallelism through GSPMD (the dispatch/FFN/combine
+        # einsums partition on E; XLA inserts the psum-style combine).
+        # The router [d, E] stays replicated (no rule matches it).
+        return P("model", None, None)
     for substrings, spec2d, spec1d in _RULES:
         if all(s in p for s in substrings):
             if leaf.ndim >= 2:

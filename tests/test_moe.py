@@ -221,3 +221,43 @@ def test_ep_moe_a2a_matches_single_device():
     gotq = ep_moe_forward_a2a(x, shard_moe(qmoe, mesh), mesh)
     np.testing.assert_allclose(np.asarray(gotq), np.asarray(refq),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_moe_gpt_engine_under_mesh_matches_single_device():
+    """MoE x TP serving: shard_quantized_model places expert-stacked
+    tensors EXPERT-sharded over the model axis (expert parallelism via
+    GSPMD — the routed einsums partition on E) while attention runs the
+    shard_map int8 kernels; engine transcripts equal single-device,
+    dense AND paged."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    from qgemm_tpu.parallel.mesh import make_mesh
+    from qgemm_tpu.parallel.sharding import shard_quantized_model
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+
+    cfg = GPTConfig(vocab_size=64, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=2, max_seq_len=128, n_experts=4, moe_top_k=2)
+    m = GPT.init(cfg, key=jax.random.PRNGKey(30)).quantize()
+    mesh = make_mesh((2, 4), ("data", "model"))
+    ms = shard_quantized_model(m, mesh)
+    # the expert dim actually sharded (not silently replicated)
+    up = ms.blocks[0].ffn.w_up
+    leaf = up.q if hasattr(up, "q") else up
+    assert "model" in str(leaf.sharding.spec), leaf.sharding
+
+    def run(model, **kw):
+        eng = ContinuousBatchingEngine(model, max_slots=2, **kw)
+        reqs = [Request(prompt=[1 + i, 2, 3], max_new_tokens=5)
+                for i in range(3)]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=60)}
+        return [(tuple(fin[r.id].generated), fin[r.id].error) for r in reqs]
+
+    for kw in ({}, {"paged": True}):
+        tp = run(ms, mesh=mesh, **kw)
+        sd = run(m, **kw)
+        assert all(e is None for _, e in tp), (kw, tp)
+        assert tp == sd, (kw, tp, sd)
