@@ -292,16 +292,19 @@ class Transformer:
         z = lambda: jnp.zeros((batch, hkv, s, dh), cfg.jdtype)
         return [(z(), z()) for _ in self.dec_blocks]
 
-    def decode_logits(self, tok, pos, enc_kvs, caches, src_mask=None):
-        """One decode step returning raw logits [B, vocab] (sampling is the
-        caller's business — the serving engine passes per-request sampling
-        params). tok [B,1] int; pos scalar or [B] per-slot positions
-        (continuous batching); ``src_mask`` [B, S_src] bool masks padded
-        encoder positions for ragged source batches."""
+    def decode_chunk(self, tok, pos, enc_kvs, caches, src_mask=None):
+        """Multi-token decoder forward at per-slot offsets: tok [B, C]
+        verifies/extends at positions pos..pos+C-1 (pos scalar or [B]) —
+        the chunk's self-attention K/V are written into the caches and
+        each row attends every cached position <= its own plus the full
+        (masked) encoder output. Returns (logits [B, C, vocab], caches).
+        The speculative-verification primitive for the enc-dec engine
+        (GPT-family ``prefill_chunk`` parity)."""
+        c = tok.shape[1]
         if getattr(pos, "ndim", 0) == 1:
-            emb = jnp.take(self.embed.table, tok, axis=0, mode="clip")
-            x = emb + jnp.take(self.embed.pos, pos, axis=0,
-                               mode="clip")[:, None, :]
+            posi = pos[:, None] + jnp.arange(c)[None, :]
+            x = jnp.take(self.embed.table, tok, axis=0, mode="clip") \
+                + jnp.take(self.embed.pos, posi, axis=0, mode="clip")
         else:
             x = self.embed(tok, offset=pos)
         new_caches = []
@@ -309,7 +312,17 @@ class Transformer:
             x, cache = blk(x, kv, self_cache=cache, cache_index=pos,
                            src_mask=src_mask)
             new_caches.append(cache)
-        return self.lm_head(self.ln_dec(x))[:, -1, :], new_caches
+        return self.lm_head(self.ln_dec(x)), new_caches
+
+    def decode_logits(self, tok, pos, enc_kvs, caches, src_mask=None):
+        """One decode step returning raw logits [B, vocab] (sampling is the
+        caller's business — the serving engine passes per-request sampling
+        params). tok [B,1] int; pos scalar or [B] per-slot positions
+        (continuous batching); ``src_mask`` [B, S_src] bool masks padded
+        encoder positions for ragged source batches."""
+        logits, new_caches = self.decode_chunk(tok, pos, enc_kvs, caches,
+                                               src_mask=src_mask)
+        return logits[:, -1, :], new_caches
 
     def decode_step(self, tok, pos, enc_kvs, caches, src_mask=None):
         """Greedy decode step. Returns (next_tok [B,1], new caches)."""

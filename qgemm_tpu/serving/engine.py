@@ -233,6 +233,46 @@ class _NativeBookkeeper:
             out.append(req)
 
 
+def spec_accept(tlogits, d, qs, temps, topps, topks, kacc, kextra, gamma):
+    """Batched Leviathan rejection-sampling acceptance, shared by the GPT
+    and seq2seq engines' speculative rounds. tlogits [B, gamma+1, V] (the
+    target's verify-chunk logits), d [B, gamma] sampled draft proposals,
+    qs [B, gamma, V] the draft's warped distributions at each proposal;
+    per-slot sampling params. Returns (cand [B, gamma+1], produced [B],
+    cur_new [B], lps [B, gamma+1]). temperature <= 1e-6 slots degenerate
+    to exact greedy verification (both warps one-hot)."""
+    from qgemm_tpu.ops.sampling import warped_probs
+    warp = lambda lg: warped_probs(lg, temps, topks, topps)
+    p = jax.vmap(warp, in_axes=1, out_axes=1)(tlogits)  # [B, gamma+1, V]
+
+    px = jnp.take_along_axis(p[:, :gamma], d[..., None], axis=2)[..., 0]
+    qx = jnp.take_along_axis(qs, d[..., None], axis=2)[..., 0]
+    u = jax.random.uniform(kacc, d.shape)
+    acc = jnp.cumprod((u * qx < px).astype(jnp.int32), axis=1)
+    n_acc = jnp.sum(acc, axis=1)                        # [B]
+
+    # the extra token at the first rejection: leftover distribution
+    # norm(max(0, p - q)); after full acceptance q is defined 0 at the
+    # bonus position, making the leftover = p_gamma itself
+    q_pad = jnp.concatenate([qs, jnp.zeros_like(qs[:, :1])], axis=1)
+    p_at = jnp.take_along_axis(p, n_acc[:, None, None], axis=1)[:, 0]
+    q_at = jnp.take_along_axis(q_pad, n_acc[:, None, None], axis=1)[:, 0]
+    resid = jnp.maximum(p_at - q_at, 0.0)
+    dist = jnp.where((jnp.sum(resid, axis=1) > 1e-9)[:, None], resid, p_at)
+    extra = jax.random.categorical(kextra, jnp.log(dist),
+                                   axis=-1).astype(jnp.int32)   # [B]
+
+    idx = jnp.arange(gamma + 1)[None, :]
+    dpad = jnp.concatenate([d, d[:, -1:]], axis=1)
+    cand = jnp.where(idx < n_acc[:, None], dpad, extra[:, None])
+    produced = n_acc + 1
+    cur_new = jnp.take_along_axis(cand, (produced - 1)[:, None],
+                                  axis=1)[:, 0]
+    lps = jax.nn.log_softmax(tlogits.astype(jnp.float32), axis=-1)
+    lps = jnp.take_along_axis(lps, cand[..., None], axis=2)[..., 0]
+    return cand, produced, cur_new, lps
+
+
 def _set_slot_state(state, slot, pos, tok, temp, topp, topk):
     """Fused per-slot admission-state write: (positions, cur_tokens,
     temps, topps, topks) updated in ONE dispatch (donated in-place)."""
@@ -618,37 +658,8 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         qs = qs[:gamma].transpose(1, 0, 2)                   # [B, gamma, V]
         seq = jnp.concatenate([cur, d], axis=1)              # [B, gamma+1]
         tlogits, caches = model.prefill_chunk(seq, pos, caches)
-        p = jax.vmap(warp, in_axes=1, out_axes=1)(
-            tlogits)                                         # [B, gamma+1, V]
-
-        px = jnp.take_along_axis(p[:, :gamma], d[..., None],
-                                 axis=2)[..., 0]             # [B, gamma]
-        qx = jnp.take_along_axis(qs, d[..., None], axis=2)[..., 0]
-        u = jax.random.uniform(kacc, d.shape)
-        acc = jnp.cumprod((u * qx < px).astype(jnp.int32), axis=1)
-        n_acc = jnp.sum(acc, axis=1)                         # [B]
-
-        # the extra token at the first rejection: leftover distribution
-        # norm(max(0, p - q)); after full acceptance q is defined 0 at the
-        # bonus position, making the leftover = p_gamma itself
-        q_pad = jnp.concatenate([qs, jnp.zeros_like(qs[:, :1])], axis=1)
-        p_at = jnp.take_along_axis(p, n_acc[:, None, None], axis=1)[:, 0]
-        q_at = jnp.take_along_axis(q_pad, n_acc[:, None, None],
-                                   axis=1)[:, 0]
-        resid = jnp.maximum(p_at - q_at, 0.0)
-        dist = jnp.where((jnp.sum(resid, axis=1) > 1e-9)[:, None],
-                         resid, p_at)
-        extra = jax.random.categorical(kextra, jnp.log(dist),
-                                       axis=-1).astype(jnp.int32)  # [B]
-
-        idx = jnp.arange(gamma + 1)[None, :]
-        dpad = jnp.concatenate([d, d[:, -1:]], axis=1)
-        cand = jnp.where(idx < n_acc[:, None], dpad, extra[:, None])
-        produced = n_acc + 1
-        cur_new = jnp.take_along_axis(cand, (produced - 1)[:, None],
-                                      axis=1)[:, 0]
-        lps = jax.nn.log_softmax(tlogits.astype(jnp.float32), axis=-1)
-        lps = jnp.take_along_axis(lps, cand[..., None], axis=2)[..., 0]
+        cand, produced, cur_new, lps = spec_accept(
+            tlogits, d, qs, temps, topps, topks, kacc, kextra, gamma)
         return cand, produced, cur_new, lps, caches, dcaches
 
     def _spec_multi_impl(self, model, draft, cur, pos, caches, dcaches,

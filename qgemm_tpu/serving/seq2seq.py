@@ -71,7 +71,8 @@ class Seq2SeqEngine(_PagedPoolOps):
                  quantized_cache: bool = False, top_k: int = 0,
                  seed: int = 0, bos_token: int = 1, mesh=None,
                  paged: bool = False, n_pages: Optional[int] = None,
-                 multi_step: int = 0):
+                 multi_step: int = 0, draft_model=None,
+                 spec_gamma: int = 4):
         """``mesh``: tensor-parallel serving — pass the mesh the model was
         sharded over (parallel.sharding.shard_quantized_model on a
         ``Transformer.with_tp`` model); the decoder self-caches AND the
@@ -90,12 +91,27 @@ class Seq2SeqEngine(_PagedPoolOps):
         ``multi_step``: K decode steps per dispatch when the queue is
         empty (same contract as the GPT engine: greedy transcripts
         identical, finishing slots junk-decode within their reservation
-        for the rest of the block, admissions never delayed)."""
+        for the rest of the block, admissions never delayed).
+        ``draft_model``: SPECULATIVE DECODING for the enc-dec family
+        (GPT-engine parity): a cheap draft Transformer encodes each
+        source at admission (its own per-slot cross K/V + dense decoder
+        self-cache) and proposes ``spec_gamma`` tokens per slot each
+        round; the target verifies all slots in one batched
+        ``decode_chunk`` at per-slot offsets with STOCHASTIC rejection
+        sampling under each slot's own sampling params — greedy slots
+        stay bit-equal to the plain engine, sampled slots distribute
+        exactly as sequential warped-target sampling. Composes with
+        multi_step (K rounds per dispatch) and the paged decoder
+        self-cache (reservations grow by gamma+2)."""
         cfg = model.cfg
         self.model = model
         self.max_slots = max_slots
         self.max_src_len = max_src_len or cfg.max_seq_len
         self.max_dec_len = (max_new_tokens or cfg.max_seq_len - 1) + 1
+        self.draft = draft_model
+        self.spec_gamma = int(spec_gamma)
+        self.spec_extra = (self.spec_gamma + 2) if draft_model is not None \
+            else 0
         self.quantized_cache = quantized_cache
         self.top_k = top_k
         self.bos_token = bos_token
@@ -114,6 +130,9 @@ class Seq2SeqEngine(_PagedPoolOps):
             # the same request)
             pps = -(-self.max_dec_len // PAGE_SIZE)
             self.max_dec_len = pps * PAGE_SIZE
+            # spec mode: verify chunks write up to spec_extra junk rows
+            # past a slot's final position — widen tables + reservations
+            pps += -(-self.spec_extra // PAGE_SIZE)
             npg = n_pages or (1 + max_slots * pps)
             hkv_ = getattr(cfg, "n_kv_heads", 0) or cfg.n_heads
             self._pt_host = np.zeros((max_slots, pps), np.int32)
@@ -123,8 +142,21 @@ class Seq2SeqEngine(_PagedPoolOps):
             self.alloc = PageAllocator(npg, max_slots, pps)
             self._page_size = PAGE_SIZE
         else:
-            self.caches = model.init_cache(max_slots, self.max_dec_len,
-                                           quantized=quantized_cache)
+            self.caches = model.init_cache(
+                max_slots, self.max_dec_len + self.spec_extra,
+                quantized=quantized_cache)
+        if draft_model is not None:
+            # the draft's decoder self-cache stays DENSE in both modes
+            # (it is the small model); its cross K/V stay float
+            dcfg = draft_model.cfg
+            ddh = dcfg.d_model // dcfg.n_heads
+            dhkv = getattr(dcfg, "n_kv_heads", 0) or dcfg.n_heads
+            self.draft_caches = draft_model.init_cache(
+                max_slots, self.max_dec_len + self.spec_extra)
+            zd = lambda: jnp.zeros(
+                (max_slots, dhkv, self.max_src_len, ddh), dcfg.jdtype)
+            self.draft_enc_kvs = [(zd(), zd())
+                                  for _ in draft_model.dec_blocks]
         dh = cfg.d_model // cfg.n_heads
         hkv = getattr(cfg, "n_kv_heads", 0) or cfg.n_heads   # GQA: 1/g
         s_src = self.max_src_len
@@ -184,6 +216,15 @@ class Seq2SeqEngine(_PagedPoolOps):
         self._prefill = jax.jit(self._prefill_impl, static_argnames=("plen",))
         self._prefill_paged = jax.jit(self._prefill_paged_impl,
                                       static_argnames=("plen",))
+        if draft_model is not None:
+            self._spec_round = jax.jit(self._spec_round_impl,
+                                       donate_argnums=(4, 5),
+                                       static_argnames=("gamma",))
+            self._spec_multi = jax.jit(self._spec_multi_impl,
+                                       donate_argnums=(4, 5),
+                                       static_argnames=("gamma", "n"))
+            self._draft_admit = jax.jit(self._draft_admit_impl,
+                                        static_argnames=("plen",))
 
     # ------------------------------------------------------------- jit fns
     def _decode_impl(self, model, tok, pos, caches, enc_kvs, src_lens,
@@ -216,6 +257,80 @@ class Seq2SeqEngine(_PagedPoolOps):
         (tok, pos, caches), (toks, lps) = jax.lax.scan(
             sub, (tok, pos, caches), jax.random.split(key, n))
         return toks, lps, caches
+
+    def _spec_round_impl(self, model, draft, cur, pos, caches, dcaches,
+                         enc_kvs, denc_kvs, src_lens, key, temps, topps,
+                         topks, gamma):
+        """One batched speculative round (GPT-engine parity, enc-dec
+        flavor): the draft scans gamma+1 decode steps against ITS cross
+        K/V sampling each proposal from its warped distribution; the
+        target verifies every slot's candidate block in one batched
+        ``decode_chunk`` at per-slot offsets; Leviathan rejection
+        sampling (engine.spec_accept) advances each slot by its accepted
+        prefix + 1."""
+        from qgemm_tpu.ops.sampling import warped_probs
+
+        from qgemm_tpu.serving.engine import spec_accept
+        warp = lambda lg: warped_probs(lg, temps, topks, topps)
+        src_mask = jnp.arange(self.max_src_len)[None, :] < src_lens[:, None]
+        kd, kacc, kextra = jax.random.split(key, 3)
+
+        def dstep(carry, j):
+            tok, dc, k = carry
+            k, ks = jax.random.split(k)
+            logits, dc = draft.decode_logits(tok, pos + j, denc_kvs, dc,
+                                             src_mask=src_mask)
+            q = warp(logits)
+            nxt = jax.random.categorical(ks, jnp.log(q),
+                                         axis=-1).astype(jnp.int32)
+            return (nxt[:, None], dc, k), (nxt, q)
+
+        (_, dcaches, _), (props, qs) = jax.lax.scan(
+            dstep, (cur, dcaches, kd), jnp.arange(gamma + 1))
+        d = props[:gamma].T
+        qs = qs[:gamma].transpose(1, 0, 2)
+        seq = jnp.concatenate([cur, d], axis=1)
+        tlogits, caches = model.decode_chunk(seq, pos, enc_kvs, caches,
+                                             src_mask=src_mask)
+        cand, produced, cur_new, lps = spec_accept(
+            tlogits, d, qs, temps, topps, topks, kacc, kextra, gamma)
+        return cand, produced, cur_new, lps, caches, dcaches
+
+    def _spec_multi_impl(self, model, draft, cur, pos, caches, dcaches,
+                         enc_kvs, denc_kvs, src_lens, key, temps, topps,
+                         topks, gamma, n):
+        """``n`` speculative rounds in one dispatch (lax.scan; GPT-engine
+        _spec_multi_impl contract — positions chain through accepted
+        blocks, post-finish junk replays are discarded by the host)."""
+        def sub(carry, k):
+            cur, pos, caches, dcaches = carry
+            cand, produced, cur_new, lps, caches, dcaches = \
+                self._spec_round_impl(model, draft, cur, pos, caches,
+                                      dcaches, enc_kvs, denc_kvs,
+                                      src_lens, k, temps, topps, topks,
+                                      gamma)
+            return (cur_new[:, None], pos + produced, caches, dcaches), \
+                (cand, produced, lps)
+
+        (cur, pos, caches, dcaches), (cands, produceds, lpss) = \
+            jax.lax.scan(sub, (cur, pos, caches, dcaches),
+                         jax.random.split(key, n))
+        return cands, produceds, lpss, cur, pos, caches, dcaches
+
+    def _draft_admit_impl(self, draft, src, src_len_true, denc_kvs,
+                          dcaches, slot, plen):
+        """Admission back half for the draft: encode the source with the
+        DRAFT, scatter its cross K/V into the slot's rows, write its BOS
+        K/V into the slot's self-cache region (the BOS logits are
+        discarded — the first token is the target's)."""
+        _, tmp, new_denc, _ = self._encode_and_bos(
+            draft, src, src_len_true, denc_kvs, slot, plen, False)
+        zero = jnp.zeros((), jnp.int32)
+        scatter = lambda c, t: jax.lax.dynamic_update_slice(
+            c, t, (slot, zero, zero, zero))
+        new_dcaches = [jax.tree.map(scatter, c, t)
+                       for c, t in zip(dcaches, tmp)]
+        return new_denc, new_dcaches
 
     def _encode_and_bos(self, model, src, src_len_true, enc_kvs, slot,
                         plen, quantized_tmp):
@@ -324,10 +439,12 @@ class Seq2SeqEngine(_PagedPoolOps):
                         if r.id != req.id:
                             self.finished.append(r)
 
-                # reserve the request's worst case (BOS + max_new) eagerly
-                # so mid-decode growth can never exhaust the pool — same
+                # reserve the request's worst case (BOS + max_new, plus
+                # the spec verify chunk's junk-row headroom) eagerly so
+                # mid-decode growth can never exhaust the pool — same
                 # contract as the GPT paged engine
-                worst = min(1 + req.max_new_tokens, self.max_dec_len)
+                worst = min(1 + req.max_new_tokens, self.max_dec_len) \
+                    + self.spec_extra
                 need = self.alloc.pages_needed(worst, self._page_size)
                 pool_cap = self.caches[0].n_pages - 1   # page 0 reserved
                 if need > min(self.alloc.pages_per_slot, pool_cap):
@@ -369,6 +486,13 @@ class Seq2SeqEngine(_PagedPoolOps):
                         self.finished.append(r)
                 self.finished.append(req)
                 continue
+            if self.draft is not None:
+                # the draft encodes the same source into ITS per-slot
+                # cross K/V + BOS self-cache so spec rounds propose with
+                # full source context
+                self.draft_enc_kvs, self.draft_caches = self._draft_admit(
+                    self.draft, src, jnp.int32(plen), self.draft_enc_kvs,
+                    self.draft_caches, jnp.int32(slot), plen=bucket)
             (self.src_lens, self.positions, self.cur_tokens, self.temps,
              self.topps, self.topks) = self._set_slot(
                 (self.src_lens, self.positions, self.cur_tokens,
@@ -426,6 +550,8 @@ class Seq2SeqEngine(_PagedPoolOps):
         active = self.book.active_mask()
         if not active.any():
             return False
+        if self.draft is not None and self.book.num_waiting == 0:
+            return self._spec_step(active)
         n = (self.multi_step
              if self.multi_step > 1 and self.book.num_waiting == 0 else 1)
         if self.paged:
@@ -484,6 +610,60 @@ class Seq2SeqEngine(_PagedPoolOps):
         self.finished.extend(self.book.drain_finished())
         return True
 
+    def _spec_step(self, active):
+        """One speculative dispatch (queue empty): mirror of the GPT
+        engine's _spec_step — with multi_step > 1, that many ROUNDS run
+        as one device dispatch and the host replays them in order."""
+        n = self.multi_step if self.multi_step > 1 else 1
+        if self.paged:
+            self._grow_active_slots(active, self.positions,
+                                    ahead=n * self.spec_extra)
+        self._key, sub = jax.random.split(self._key)
+        try:
+            if n > 1:
+                (cands, produceds, lpss, cur_new, pos_new, self.caches,
+                 self.draft_caches) = self._spec_multi(
+                    self.model, self.draft, self.cur_tokens, self.positions,
+                    self.caches, self.draft_caches, self.enc_kvs,
+                    self.draft_enc_kvs, self.src_lens, sub, self.temps,
+                    self.topps, self.topks, gamma=self.spec_gamma, n=n)
+            else:
+                (cand, produced, cur_new, lps, self.caches,
+                 self.draft_caches) = self._spec_round(
+                    self.model, self.draft, self.cur_tokens, self.positions,
+                    self.caches, self.draft_caches, self.enc_kvs,
+                    self.draft_enc_kvs, self.src_lens, sub, self.temps,
+                    self.topps, self.topks, gamma=self.spec_gamma)
+                cands, produceds = cand[None], produced[None]
+                lpss = lps[None]
+                pos_new = self.positions + produced
+        except Exception as e:  # noqa: BLE001 — both cache sets donated
+            self._recover_from_decode_fault(e)
+            return True
+        act = jnp.asarray(active)
+        self.positions = jnp.where(act, pos_new, self.positions)
+        self.cur_tokens = jnp.where(act[:, None], cur_new.reshape(-1, 1),
+                                    self.cur_tokens)
+        cands_host = np.asarray(cands)
+        produceds_host = np.asarray(produceds)
+        lps_host = np.asarray(lpss) if self._lp_slots else None
+        for i in range(cands_host.shape[0]):
+            if not self.book.active_mask().any():
+                break
+            accepted = self.book.record_block(cands_host[i],
+                                              produceds_host[i])
+            self.tokens_generated += int(accepted.sum())
+            if lps_host is not None:
+                for s, r in list(self._lp_slots.items()):
+                    for j in range(int(accepted[s])):
+                        r.token_logprobs.append(float(lps_host[i, s, j]))
+        for slot in np.flatnonzero(active & ~self.book.active_mask()):
+            self._lp_slots.pop(int(slot), None)
+            if self.paged:
+                self._release_slot_pages(int(slot))
+        self.finished.extend(self.book.drain_finished())
+        return True
+
     def _recover_from_decode_fault(self, e: Exception):
         msg = f"decode step failed: {type(e).__name__}: {e}"
         self._lp_slots.clear()
@@ -506,8 +686,14 @@ class Seq2SeqEngine(_PagedPoolOps):
                 for _ in self.model.dec_blocks]
         else:
             self.caches = self.model.init_cache(
-                self.max_slots, self.max_dec_len,
+                self.max_slots, self.max_dec_len + self.spec_extra,
                 quantized=self.quantized_cache)
+        if self.draft is not None:
+            # the draft caches were donated into the failed round too
+            self.draft_caches = self.draft.init_cache(
+                self.max_slots, self.max_dec_len + self.spec_extra)
+            self.draft_enc_kvs = [tuple(jnp.zeros_like(a) for a in layer)
+                                  for layer in self.draft_enc_kvs]
         # enc_kvs were NOT donated, but rebuild them too: their per-slot
         # rows belonged to the requests just failed
         self.enc_kvs = [tuple(jnp.ones_like(a)      # absmax scales -> 1

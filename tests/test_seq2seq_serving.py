@@ -421,3 +421,71 @@ def test_seq2seq_multi_step_matches_single_step():
         got = run(**kw)
         assert all(e is None for _, e in got), (kw, got)
         assert got == ref, (kw, got, ref)
+
+
+def test_seq2seq_speculative_matches_plain():
+    """Enc-dec speculative decoding (draft_model=...): greedy transcripts
+    EXACTLY equal the plain engine's for a self-draft and an unrelated
+    draft, across EOS mid-block, ragged sources and slot churn; logprobs
+    align; composes with multi_step (rounds per dispatch) and the paged
+    decoder self-cache."""
+    model = _model(seed=61)
+    probe = Seq2SeqEngine(model, max_slots=1, max_new_tokens=20)
+    pr = Request(prompt=[5, 6, 7], max_new_tokens=6)
+    probe.submit(pr)
+    probe.run_to_completion(max_steps=30)
+    eos = pr.generated[3]
+
+    spec = [([5, 6, 7], 6, eos), ([8, 9], 11, None), ([1] * 7, 9, None),
+            ([2, 3, 4, 5], 8, eos), ([4] * 5, 7, None)]
+
+    def run(**kw):
+        eng = Seq2SeqEngine(model, max_slots=2, max_new_tokens=20, **kw)
+        reqs = [Request(prompt=p, max_new_tokens=m, eos_token=e,
+                        logprobs=True)
+                for p, m, e in spec]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=300)}
+        return eng, [fin[r.id] for r in reqs]
+
+    _, ref = run()
+    ref_out = [(tuple(r.generated), r.error) for r in ref]
+    for kw in (dict(draft_model=model, spec_gamma=3),
+               dict(draft_model=_model(seed=62), spec_gamma=3),
+               dict(draft_model=model, spec_gamma=3, multi_step=3),
+               dict(draft_model=model, spec_gamma=3, paged=True),
+               dict(draft_model=model, spec_gamma=3, paged=True,
+                    multi_step=3)):
+        eng, got = run(**kw)
+        out = [(tuple(r.generated), r.error) for r in got]
+        assert all(e is None for _, e in out), (kw, out)
+        assert out == ref_out, (kw, out, ref_out)
+        for r in got:
+            assert len(r.token_logprobs) == len(r.generated), r
+    # self-draft: fewer scheduler steps than tokens (blocks accepted)
+    assert eng.steps < sum(len(r.generated) for r in got)
+
+
+def test_seq2seq_speculative_mixed_sampling():
+    """Stochastic verification serves mixed batches in the enc-dec
+    engine too: the greedy slot's transcript equals the plain engine's
+    exactly while temperature>0 slots complete in-round."""
+    model = _model(seed=63)
+    eng = Seq2SeqEngine(model, max_slots=3, max_new_tokens=20,
+                        draft_model=model, spec_gamma=3, seed=9)
+    g = Request(prompt=[5, 6], max_new_tokens=12)
+    h1 = Request(prompt=[7, 8, 9], max_new_tokens=10, temperature=0.9)
+    h2 = Request(prompt=[9], max_new_tokens=8, temperature=1.2, top_p=0.9)
+    for r in (g, h1, h2):
+        eng.submit(r)
+    fin = {r.id: r for r in eng.run_to_completion(max_steps=100)}
+    assert all(fin[r.id].error is None for r in (g, h1, h2))
+    assert len(fin[h1.id].generated) == 10
+    assert len(fin[h2.id].generated) == 8
+
+    ref = Seq2SeqEngine(model, max_slots=1, max_new_tokens=20)
+    r2 = Request(prompt=[5, 6], max_new_tokens=12)
+    ref.submit(r2)
+    ref.run_to_completion(max_steps=50)
+    assert fin[g.id].generated == r2.generated
