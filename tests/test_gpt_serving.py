@@ -770,3 +770,38 @@ def test_engine_speculative_multi_step_matches_single():
             assert len(r.token_logprobs) == len(r.generated), r
         # K rounds per dispatch on top of accepted blocks: very few steps
         assert eng.steps < sum(len(r.generated) for r in got)
+
+
+def test_engine_speculative_dense_tp_matches_single_device():
+    """Dense-cache spec x TP: the verify prefill_chunk and the draft's
+    decode scan both run the tensor-sharded models (GSPMD partitions the
+    per-slot chunk writes over head-sharded caches); transcripts equal
+    single-device."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from qgemm_tpu.parallel.mesh import make_mesh
+    from qgemm_tpu.parallel.sharding import shard_quantized_model
+
+    cfg = GPTConfig(vocab_size=97, d_model=64, n_heads=8, d_ff=128,
+                    n_layers=2, max_seq_len=64)
+    m = GPT.init(cfg, key=jax.random.PRNGKey(95)).quantize()
+    d = GPT.init(cfg, key=jax.random.PRNGKey(96)).quantize()
+    mesh = make_mesh((2, 4), ("data", "model"))
+    ms, ds = shard_quantized_model(m, mesh), shard_quantized_model(d, mesh)
+
+    def run(model, draft, **kw):
+        eng = ContinuousBatchingEngine(model, max_slots=2,
+                                       draft_model=draft, spec_gamma=3,
+                                       **kw)
+        reqs = [Request(prompt=[3 + i, 4], max_new_tokens=6)
+                for i in range(3)]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=60)}
+        return [(tuple(fin[r.id].generated), fin[r.id].error) for r in reqs]
+
+    tp = run(ms, ds, mesh=mesh)
+    sd = run(m, d)
+    assert all(e is None for _, e in tp), tp
+    assert tp == sd

@@ -489,3 +489,37 @@ def test_seq2seq_speculative_mixed_sampling():
     ref.submit(r2)
     ref.run_to_completion(max_steps=50)
     assert fin[g.id].generated == r2.generated
+
+
+def test_seq2seq_speculative_under_mesh_matches_single_device():
+    """spec x TP (and x paged): target and draft both tensor-sharded —
+    the verify decode_chunk runs the sharded model, the draft scans its
+    own sharded decode; transcripts equal single-device."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from qgemm_tpu.parallel.mesh import make_mesh
+    from qgemm_tpu.parallel.sharding import shard_quantized_model
+
+    cfg = TransformerConfig(vocab_size=89, d_model=64, n_heads=8, d_ff=128,
+                            n_layers=2, max_seq_len=64)
+    m = Transformer.init(cfg, key=jax.random.PRNGKey(70)).quantize()
+    d = Transformer.init(cfg, key=jax.random.PRNGKey(71)).quantize()
+    mesh = make_mesh((2, 4), ("data", "model"))
+    ms, ds = shard_quantized_model(m, mesh), shard_quantized_model(d, mesh)
+
+    def run(model, draft, **kw):
+        eng = Seq2SeqEngine(model, max_slots=2, max_new_tokens=16,
+                            draft_model=draft, spec_gamma=3, **kw)
+        reqs = [Request(prompt=[3 + i, 4, 5], max_new_tokens=6)
+                for i in range(3)]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=60)}
+        return [(tuple(fin[r.id].generated), fin[r.id].error) for r in reqs]
+
+    for kw in ({}, {"paged": True}):
+        tp = run(ms, ds, mesh=mesh, **kw)
+        sd = run(m, d, **kw)
+        assert all(e is None for _, e in tp), (kw, tp)
+        assert tp == sd, (kw, tp, sd)
