@@ -362,3 +362,90 @@ class Transformer:
         (_, _, _), toks = jax.lax.scan(step, (tok0, caches, done0),
                                        jnp.arange(max_new_tokens))
         return toks.T  # [B, max_new_tokens]
+
+    def beam_search(self, src_tokens, max_new_tokens: int, beam_size: int = 4,
+                    bos_token: int = 1, eos_token: int | None = None,
+                    length_penalty: float = 0.6,
+                    quantized_cache: bool = False):
+        """Beam-search generation under one jit-able scan — the standard
+        seq2seq decoding mode the reference's greedy demo lacks
+        (src/transformer.cu is argmax-only; SURVEY §3.3). TPU-first
+        design: beams fold into the batch axis (B*K cache slots, every
+        shape static), per-step beam reindexing is ONE gather of the
+        K/V slot axis, and finished beams are pinned (score frozen, EOS
+        emitted) instead of removed — the scan shape never changes.
+
+        src_tokens [B, S_src] -> (tokens [B, max_new_tokens],
+        scores [B]): each row the best finished beam by GNMT length-
+        normalized log-prob sum(logp) / ((5+len)/6)**length_penalty
+        (beams that never finish compete at full length).
+        ``beam_size=1`` degenerates to greedy (tested)."""
+        b, _ = src_tokens.shape
+        k = beam_size
+        v = self.cfg.vocab_size
+        neg = jnp.float32(-1e30)
+
+        enc_out = self.encode(src_tokens)                  # [B, S, d]
+        rep = lambda x: jnp.repeat(x, k, axis=0)           # beam-major fold
+        enc_kvs = [tuple(rep(t) for t in blk.cross_attn.precompute_kv(
+            enc_out)) for blk in self.dec_blocks]
+        caches = self.init_cache(b * k, max_new_tokens,
+                                 quantized=quantized_cache)
+
+        tok0 = jnp.full((b * k, 1), bos_token, jnp.int32)
+        # only beam 0 of each row is live at t=0 (identical beams would
+        # waste the whole width on one continuation)
+        scores0 = jnp.tile(jnp.where(jnp.arange(k) == 0, 0.0, neg)[None],
+                           (b, 1))                         # [B, K]
+        toks0 = jnp.zeros((b, k, max_new_tokens), jnp.int32)
+        done0 = jnp.zeros((b, k), bool)
+
+        def norm(score, length):
+            return score / (((5.0 + length) / 6.0) ** length_penalty)
+
+        def step(carry, t):
+            tok, caches, scores, toks, done = carry
+            logits, caches = self.decode_logits(tok, t, enc_kvs, caches)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            lp = lp.reshape(b, k, v)
+            if eos_token is not None:
+                # a finished beam only "continues" with EOS at no cost —
+                # its score is frozen and it keeps competing in top-k
+                pin = jnp.where(jnp.arange(v)[None, None, :] == eos_token,
+                                0.0, neg)
+                lp = jnp.where(done[..., None], pin, lp)
+            cand = scores[..., None] + lp                  # [B, K, V]
+            flat = cand.reshape(b, k * v)
+            top_s, top_i = jax.lax.top_k(flat, k)          # [B, K]
+            src_beam = top_i // v                          # [B, K]
+            nxt = (top_i % v).astype(jnp.int32)            # [B, K]
+
+            # reindex beam state through the winners: one gather each
+            gather_rows = (src_beam
+                           + (jnp.arange(b) * k)[:, None]).reshape(-1)
+            caches = jax.tree.map(lambda c: c[gather_rows], caches)
+            toks = jnp.take_along_axis(toks, src_beam[..., None], axis=1)
+            toks = toks.at[:, :, t].set(nxt)
+            done = jnp.take_along_axis(done, src_beam, axis=1)
+            if eos_token is not None:
+                done = jnp.logical_or(done, nxt == eos_token)
+            return (nxt.reshape(-1, 1), caches, top_s, toks, done), None
+
+        (_, _, scores, toks, done), _ = jax.lax.scan(
+            step, (tok0, caches, scores0, toks0, done0),
+            jnp.arange(max_new_tokens))
+
+        # finished beams' transcripts end at their EOS; length for the
+        # normalizer = position of first EOS + 1 (full length if none)
+        if eos_token is not None:
+            is_eos = toks == eos_token
+            any_eos = jnp.any(is_eos, axis=-1)
+            lens = jnp.where(any_eos, jnp.argmax(is_eos, axis=-1) + 1,
+                             max_new_tokens)
+        else:
+            lens = jnp.full((b, k), max_new_tokens)
+        final = norm(scores, lens.astype(jnp.float32))
+        best = jnp.argmax(final, axis=-1)                  # [B]
+        out = jnp.take_along_axis(
+            toks, best[:, None, None], axis=1)[:, 0]       # [B, T]
+        return out, jnp.take_along_axis(final, best[:, None], axis=1)[:, 0]

@@ -100,3 +100,65 @@ def test_training_step_on_transformer():
         model, loss = step(model)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.2, (losses[0], losses[-1])
+
+
+def test_beam_search_beam1_equals_greedy():
+    """beam_size=1 degenerates to greedy generation exactly (incl. EOS
+    pinning)."""
+    from qgemm_tpu.models.transformer import Transformer, TransformerConfig
+    cfg = TransformerConfig(vocab_size=61, d_model=32, n_heads=4, d_ff=64,
+                            n_layers=2, max_seq_len=64)
+    m = Transformer.init(cfg, key=jax.random.PRNGKey(40))
+    src = jnp.asarray([[5, 6, 7, 8], [9, 3, 2, 1]])
+    greedy = np.asarray(m.generate(src, 10))
+    eos = int(greedy[0, 4])
+    g2 = np.asarray(m.generate(src, 10, eos_token=eos))
+    b1, _ = jax.jit(lambda s: m.beam_search(s, 10, beam_size=1,
+                                            eos_token=eos))(src)
+    assert np.asarray(b1).tolist() == g2.tolist()
+
+
+def test_beam_search_score_at_least_greedy():
+    """With length_penalty=0 (raw log-prob sum) and no EOS, the best
+    beam's score must be >= the greedy transcript's score — the whole
+    point of keeping a beam."""
+    from qgemm_tpu.models.transformer import Transformer, TransformerConfig
+    cfg = TransformerConfig(vocab_size=31, d_model=32, n_heads=4, d_ff=64,
+                            n_layers=2, max_seq_len=64)
+    m = Transformer.init(cfg, key=jax.random.PRNGKey(41))
+    src = jnp.asarray([[3, 1, 4, 1, 5]])
+    n = 8
+
+    def transcript_score(toks):
+        """Sum of per-step log-probs of ``toks`` under the model."""
+        enc = m.encode(src)
+        kvs = [b.cross_attn.precompute_kv(enc) for b in m.dec_blocks]
+        caches = m.init_cache(1, n)
+        tok = jnp.asarray([[1]])
+        total = 0.0
+        for t in range(n):
+            lg, caches = m.decode_logits(tok, t, kvs, caches)
+            lp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+            total += float(lp[0, int(toks[t])])
+            tok = jnp.asarray([[int(toks[t])]])
+        return total
+
+    greedy = np.asarray(m.generate(src, n))[0]
+    beams, score = jax.jit(lambda s: m.beam_search(
+        s, n, beam_size=4, length_penalty=0.0))(src)
+    beam_toks = np.asarray(beams)[0]
+    s_beam = transcript_score(beam_toks)
+    s_greedy = transcript_score(greedy)
+    # the reported score must equal the independently-recomputed one
+    assert abs(float(score[0]) - s_beam) < 1e-3, (float(score[0]), s_beam)
+    assert s_beam >= s_greedy - 1e-4, (s_beam, s_greedy)
+
+
+def test_beam_search_quantized_cache_runs():
+    from qgemm_tpu.models.transformer import Transformer, TransformerConfig
+    cfg = TransformerConfig(vocab_size=31, d_model=32, n_heads=4, d_ff=64,
+                            n_layers=2, max_seq_len=64)
+    m = Transformer.init(cfg, key=jax.random.PRNGKey(42)).quantize()
+    src = jnp.asarray([[3, 1, 4]])
+    toks, score = m.beam_search(src, 6, beam_size=3, quantized_cache=True)
+    assert toks.shape == (1, 6) and bool(jnp.isfinite(score).all())
