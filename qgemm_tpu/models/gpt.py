@@ -275,3 +275,72 @@ class GPT:
         (_, _), toks = jax.lax.scan(step, (tok0, caches),
                                     jnp.arange(max_new_tokens))
         return toks.T
+
+    def beam_search(self, prompt, max_new_tokens: int, beam_size: int = 4,
+                    eos_token: int | None = None,
+                    length_penalty: float = 0.6,
+                    quantized_cache: bool = False):
+        """Beam-search continuation of ``prompt`` [B, S_p] — decoder-only
+        twin of ``Transformer.beam_search`` (same TPU-first shape: beams
+        fold into the batch axis, one slot-axis gather per step for beam
+        reindexing, finished beams pinned, GNMT length normalization).
+        The prompt prefills ONCE at batch B; its K/V rows replicate into
+        the B*K beam slots with a repeat, not K prefills. Returns
+        (tokens [B, max_new_tokens], scores [B])."""
+        b, s_p = prompt.shape
+        k = beam_size
+        v = self.cfg.vocab_size
+        neg = jnp.float32(-1e30)
+
+        caches = self.init_cache(b, s_p + max_new_tokens,
+                                 quantized=quantized_cache)
+        logits, caches = self.prefill(prompt, caches)
+        caches = jax.tree.map(lambda c: jnp.repeat(c, k, axis=0), caches)
+        lp0 = jax.nn.log_softmax(
+            logits[:, s_p - 1, :].astype(jnp.float32), axis=-1)  # [B, V]
+
+        scores, nxt0 = jax.lax.top_k(lp0, k)               # [B, K]
+        toks0 = jnp.zeros((b, k, max_new_tokens), jnp.int32)
+        toks0 = toks0.at[:, :, 0].set(nxt0)
+        done0 = (nxt0 == eos_token) if eos_token is not None \
+            else jnp.zeros((b, k), bool)
+
+        def step(carry, t):
+            tok, caches, scores, toks, done = carry
+            lg, caches = self.decode_step(tok, s_p + t, caches)
+            lp = jax.nn.log_softmax(lg.astype(jnp.float32),
+                                    axis=-1).reshape(b, k, v)
+            if eos_token is not None:
+                pin = jnp.where(jnp.arange(v)[None, None, :] == eos_token,
+                                0.0, neg)
+                lp = jnp.where(done[..., None], pin, lp)
+            cand = scores[..., None] + lp
+            top_s, top_i = jax.lax.top_k(cand.reshape(b, k * v), k)
+            src_beam = top_i // v
+            nxt = (top_i % v).astype(jnp.int32)
+            rows = (src_beam + (jnp.arange(b) * k)[:, None]).reshape(-1)
+            caches = jax.tree.map(lambda c: c[rows], caches)
+            toks = jnp.take_along_axis(toks, src_beam[..., None], axis=1)
+            toks = toks.at[:, :, t + 1].set(nxt)
+            done = jnp.take_along_axis(done, src_beam, axis=1)
+            if eos_token is not None:
+                done = jnp.logical_or(done, nxt == eos_token)
+            return (nxt.reshape(-1, 1), caches, top_s, toks, done), None
+
+        tok0 = nxt0.reshape(-1, 1)
+        (_, _, scores, toks, done), _ = jax.lax.scan(
+            step, (tok0, caches, scores, toks0, done0),
+            jnp.arange(max_new_tokens - 1))
+
+        if eos_token is not None:
+            is_eos = toks == eos_token
+            any_eos = jnp.any(is_eos, axis=-1)
+            lens = jnp.where(any_eos, jnp.argmax(is_eos, axis=-1) + 1,
+                             max_new_tokens)
+        else:
+            lens = jnp.full((b, k), max_new_tokens)
+        final = scores / (((5.0 + lens.astype(jnp.float32)) / 6.0)
+                          ** length_penalty)
+        best = jnp.argmax(final, axis=-1)
+        out = jnp.take_along_axis(toks, best[:, None, None], axis=1)[:, 0]
+        return out, jnp.take_along_axis(final, best[:, None], axis=1)[:, 0]

@@ -805,3 +805,35 @@ def test_engine_speculative_dense_tp_matches_single_device():
     sd = run(m, d)
     assert all(e is None for _, e in tp), tp
     assert tp == sd
+
+
+def test_gpt_beam_search_beam1_equals_greedy_and_score_improves():
+    """GPT beam_search: beam_size=1 equals generate exactly; beam 4's
+    best transcript log-prob (recomputed independently) >= greedy's."""
+    model = _model(seed=97)
+    prompt = jnp.asarray([[3, 1, 4, 1, 5]])
+    n = 8
+    greedy = np.asarray(jax.jit(lambda p: model.generate(p, n))(prompt))[0]
+    b1, _ = jax.jit(lambda p: model.beam_search(p, n, beam_size=1,
+                                                length_penalty=0.0))(prompt)
+    assert np.asarray(b1)[0].tolist() == greedy.tolist()
+
+    def transcript_score(toks):
+        caches = model.init_cache(1, 5 + n)
+        logits, caches = model.prefill(prompt, caches)
+        lp = jax.nn.log_softmax(logits[:, 4, :].astype(jnp.float32))
+        total = float(lp[0, int(toks[0])])
+        tok = jnp.asarray([[int(toks[0])]])
+        for t in range(1, n):
+            lg, caches = model.decode_step(tok, 5 + t - 1, caches)
+            lp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+            total += float(lp[0, int(toks[t])])
+            tok = jnp.asarray([[int(toks[t])]])
+        return total
+
+    beams, score = jax.jit(lambda p: model.beam_search(
+        p, n, beam_size=4, length_penalty=0.0))(prompt)
+    s_beam = transcript_score(np.asarray(beams)[0])
+    s_greedy = transcript_score(greedy)
+    assert abs(float(score[0]) - s_beam) < 1e-3, (float(score[0]), s_beam)
+    assert s_beam >= s_greedy - 1e-4, (s_beam, s_greedy)
