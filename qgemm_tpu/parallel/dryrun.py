@@ -154,6 +154,18 @@ def run_dryrun(n_devices: int) -> None:
     assert len(sfin[0].generated) == 130
     assert seng.stats["pages_in_use"] == 0
 
+    # --- seq2seq speculative x paged x TP (r4): the verify decode_chunk
+    # runs the sharded target, the (self-)draft its own sharded scan ----
+    sspec = Seq2SeqEngine(s2s_sharded, max_slots=2, max_new_tokens=24,
+                          mesh=mesh, paged=True, draft_model=s2s_sharded,
+                          spec_gamma=3)
+    for t in (7, 9):
+        sspec.submit(Request(prompt=[t, t + 1], max_new_tokens=5))
+    spfin = sspec.run_to_completion(max_steps=60)
+    assert len(spfin) == 2 and all(r.error is None for r in spfin), \
+        [r.error for r in spfin]
+    assert all(len(r.generated) == 5 for r in spfin)
+
     # --- all-to-all expert parallelism (r3) --------------------------------
     from qgemm_tpu.models.moe import MoEFeedForward
     from qgemm_tpu.parallel.expert import ep_moe_forward_a2a, shard_moe
