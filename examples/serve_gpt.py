@@ -63,6 +63,12 @@ def main():
     ap.add_argument("--multi-step", type=int, default=0,
                     help="decode K steps per dispatch when the queue is "
                          "empty (amortizes per-token host round trips)")
+    ap.add_argument("--draft-layers", type=int, default=0,
+                    help="speculative decoding: stand up a draft of this "
+                         "many layers (d_model/4) proposing --spec-gamma "
+                         "tokens per round; stacks with --multi-step "
+                         "(K rounds per dispatch)")
+    ap.add_argument("--spec-gamma", type=int, default=4)
     ap.add_argument("--tp", type=int, default=0,
                     help="tensor-parallel ways (BASELINE config 5): shard "
                          "the int8 model over a (1, tp) mesh — needs >= tp "
@@ -91,12 +97,28 @@ def main():
         mesh = make_mesh((1, args.tp), ("data", "model"),
                          devices=jax.devices()[:args.tp])
         model = shard_quantized_model(model, mesh)
+    draft = None
+    if args.draft_layers:
+        dcfg = GPTConfig(vocab_size=args.vocab,
+                         d_model=max(64, args.d_model // 4),
+                         n_heads=max(1, args.heads // 2),
+                         d_ff=args.d_model,
+                         n_layers=args.draft_layers,
+                         max_seq_len=args.max_seq_len)
+        draft = GPT.init(dcfg, key=jax.random.PRNGKey(args.seed + 1))
+        if not args.no_quantize:
+            draft = draft.quantize()
+        if mesh is not None:
+            from qgemm_tpu.parallel.sharding import shard_quantized_model
+            draft = shard_quantized_model(draft, mesh)
     engine = ContinuousBatchingEngine(model, max_slots=args.slots,
                                       scheduler=args.scheduler, mesh=mesh,
                                       paged=args.paged,
                                       n_pages=args.n_pages or None,
                                       chunked_prefill=args.chunked or None,
-                                      multi_step=args.multi_step)
+                                      multi_step=args.multi_step,
+                                      draft_model=draft,
+                                      spec_gamma=args.spec_gamma)
     print(f"model: {model.num_params()/1e6:.1f}M params "
           f"({'bf16/f32' if args.no_quantize else 'int8'}); "
           f"scheduler: {engine.scheduler}; slots: {args.slots}"

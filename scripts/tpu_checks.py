@@ -314,6 +314,25 @@ def main():
     assert eng_tp.alloc.prefix_hits >= 2, eng_tp.alloc.prefix_hits
     results["tp_paged_prefix_skip"] = "ok"
 
+    # 8. SPECULATIVE paged engine on the chip: self-draft rounds accept
+    #    full blocks (steps << tokens) and serve error-free; greedy bf16
+    #    near-ties make exact transcript equality machine-dependent, so
+    #    the pin is acceptance + health, not bitwise output (exactness is
+    #    pinned in f32 by tests/test_gpt_serving.py)
+    seng = ContinuousBatchingEngine(pqm, max_slots=2, paged=True,
+                                    draft_model=pqm, spec_gamma=3,
+                                    multi_step=2)
+    sreqs = [Request(prompt=[5 + i, 6, 7], max_new_tokens=12)
+             for i in range(3)]
+    for r in sreqs:
+        seng.submit(r)
+    sfin = {r.id: r for r in seng.run_to_completion(max_steps=60)}
+    assert all(sfin[r.id].error is None for r in sreqs), \
+        [sfin[r.id].error for r in sreqs]
+    n_tok = sum(len(sfin[r.id].generated) for r in sreqs)
+    assert n_tok == 36 and seng.steps < n_tok, (n_tok, seng.steps)
+    results["spec_paged_engine"] = "ok"
+
     print(json.dumps({"ok": True, **results}))
 
 
