@@ -25,6 +25,7 @@ struct Request {
   int32_t max_new_tokens;
   int32_t eos_token;  // -1 = none
   std::vector<int32_t> generated;
+  std::vector<int32_t> stops;  // extra stop tokens (any match finishes)
 };
 
 struct Scheduler {
@@ -52,10 +53,15 @@ struct Scheduler {
     auto it = slot_req.find(slot);
     if (it == slot_req.end()) return;
     Request &r = it->second;
+    bool last_stop = false;
+    if (!r.generated.empty()) {
+      int32_t last = r.generated.back();
+      last_stop = (r.eos_token >= 0 && last == r.eos_token);
+      for (size_t i = 0; !last_stop && i < r.stops.size(); ++i)
+        last_stop = (last == r.stops[i]);
+    }
     bool done =
-        (int32_t)r.generated.size() >= r.max_new_tokens ||
-        (r.eos_token >= 0 && !r.generated.empty() &&
-         r.generated.back() == r.eos_token) ||
+        (int32_t)r.generated.size() >= r.max_new_tokens || last_stop ||
         positions[slot] >= max_seq_len - 1;
     if (done) {
       finished.push_back(std::move(r));
@@ -84,8 +90,23 @@ int qg_sched_submit(void *h, int64_t req_id, const int32_t *prompt,
   std::lock_guard<std::mutex> g(s->mu);
   s->waiting.push_back(Request{req_id,
                                std::vector<int32_t>(prompt, prompt + plen),
-                               max_new_tokens, eos_token, {}});
+                               max_new_tokens, eos_token, {}, {}});
   return 0;
+}
+
+// Attach extra STOP tokens to a waiting request (call right after submit;
+// any generated token matching eos_token OR one of these finishes the
+// request). Returns 0, or -1 if the request is not in the waiting queue.
+int qg_sched_set_stops(void *h, int64_t req_id, const int32_t *stops,
+                       int32_t n) {
+  auto *s = static_cast<Scheduler *>(h);
+  std::lock_guard<std::mutex> g(s->mu);
+  for (auto &r : s->waiting)
+    if (r.id == req_id) {
+      r.stops.assign(stops, stops + n);
+      return 0;
+    }
+  return -1;
 }
 
 // Same as qg_sched_submit but inserts at the FRONT of the waiting queue
@@ -98,7 +119,7 @@ int qg_sched_submit_front(void *h, int64_t req_id, const int32_t *prompt,
   if (plen + max_new_tokens > s->max_seq_len) return -1;
   s->waiting.push_front(Request{req_id,
                                 std::vector<int32_t>(prompt, prompt + plen),
-                                max_new_tokens, eos_token, {}});
+                                max_new_tokens, eos_token, {}, {}});
   return 0;
 }
 

@@ -46,6 +46,10 @@ class Request:
     temperature: float = 0.0
     top_p: float = 1.0
     top_k: Optional[int] = None
+    # extra stop tokens: ANY generated token in this set finishes the
+    # request (in addition to eos_token) — host-side finish rule, both
+    # scheduler backends, all decode modes (plain/multi-step/speculative)
+    stop_tokens: Optional[List[int]] = None
     # logprobs=True: token_logprobs collects ln p(token) of every generated
     # token under the raw softmax (pre-temperature/filtering — the standard
     # serving logprob), aligned with ``generated``
@@ -112,6 +116,7 @@ class _PyBookkeeper:
         last = req.generated[-1] if req.generated else None
         if (len(req.generated) >= req.max_new_tokens
                 or (req.eos_token is not None and last == req.eos_token)
+                or (req.stop_tokens and last in req.stop_tokens)
                 or int(self.pos[slot]) >= self.max_seq_len - 1):
             req.done = True
             self.finished.append(req)
@@ -179,6 +184,8 @@ class _NativeBookkeeper:
     def submit(self, req: Request, front: bool = False):
         self._sched.submit(req.id, req.prompt, req.max_new_tokens,
                            req.eos_token, front=front)
+        if req.stop_tokens:
+            self._sched.set_stops(req.id, req.stop_tokens)
         self._by_id[req.id] = req
 
     def next_admission(self):

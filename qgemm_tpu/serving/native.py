@@ -47,6 +47,8 @@ def _load():
     lib.qg_sched_record_block.argtypes = [c.c_void_p, i32p, i32p, i32,
                                           i32p]
     lib.qg_sched_record_block.restype = i32
+    lib.qg_sched_set_stops.argtypes = [c.c_void_p, i64, i32p, i32]
+    lib.qg_sched_set_stops.restype = c.c_int
     lib.qg_sched_active_mask.argtypes = [c.c_void_p, u8p]
     lib.qg_sched_positions.argtypes = [c.c_void_p, i32p]
     for name in ("num_waiting", "num_active", "num_finished"):
@@ -108,6 +110,14 @@ class NativeScheduler:
             raise ValueError(
                 f"request {req_id}: prompt {len(arr)} + {max_new_tokens} "
                 f"exceeds max_seq_len {self.max_seq_len}")
+
+    def set_stops(self, req_id: int, stops) -> None:
+        """Attach extra stop tokens to a WAITING request (any generated
+        token in the set finishes it, in addition to eos_token)."""
+        arr, ptr = _i32arr(stops)
+        rc = self._lib.qg_sched_set_stops(self._h, req_id, ptr, len(arr))
+        if rc != 0:
+            raise ValueError(f"request {req_id} not in waiting queue")
 
     def next_admission(self):
         """-> (slot, req_id, prompt ndarray) or None."""

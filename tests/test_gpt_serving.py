@@ -837,3 +837,42 @@ def test_gpt_beam_search_beam1_equals_greedy_and_score_improves():
     s_greedy = transcript_score(greedy)
     assert abs(float(score[0]) - s_beam) < 1e-3, (float(score[0]), s_beam)
     assert s_beam >= s_greedy - 1e-4, (s_beam, s_greedy)
+
+
+def test_stop_token_sets_all_modes_and_backends():
+    """Request.stop_tokens: ANY generated token in the set finishes the
+    request — identical transcripts across scheduler backends and decode
+    modes (plain, multi_step, speculative, paged)."""
+    model = _model(seed=98)
+    probe = ContinuousBatchingEngine(model, max_slots=1)
+    pr = Request(prompt=[5, 6, 7], max_new_tokens=8)
+    probe.submit(pr)
+    probe.run_to_completion(max_steps=20)
+    # a stop token whose FIRST occurrence is at index >= 2 (tokens can
+    # recur; picking blindly would stop earlier than intended)
+    first_at = {t: pr.generated.index(t) for t in set(pr.generated)}
+    tok, idx = max(first_at.items(), key=lambda kv: kv[1])
+    assert idx >= 2, pr.generated
+    stops = [tok, 96]                            # 96: never generated
+
+    def run(sched="python", **kw):
+        eng = ContinuousBatchingEngine(model, max_slots=2,
+                                       scheduler=sched, **kw)
+        reqs = [Request(prompt=[5, 6, 7], max_new_tokens=8,
+                        stop_tokens=stops),
+                Request(prompt=[8, 9], max_new_tokens=6)]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=60)}
+        return [(tuple(fin[r.id].generated), fin[r.id].error) for r in reqs]
+
+    ref = run()
+    (t0, e0), (t1, e1) = ref
+    assert e0 is None and e1 is None
+    assert len(t0) == idx + 1 and t0[-1] == tok  # stopped at first match
+    assert len(t1) == 6                          # unaffected co-resident
+    assert run("native") == ref
+    assert run(**{"multi_step": 3}) == ref
+    assert run(**{"draft_model": model, "spec_gamma": 3}) == ref
+    assert run(**{"paged": True, "draft_model": model, "spec_gamma": 3,
+                  "multi_step": 3}) == ref
