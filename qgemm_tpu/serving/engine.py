@@ -544,6 +544,9 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         self.topks = jnp.zeros((max_slots,), jnp.int32)     # 0 = off
         self.finished: List[Request] = []
         self.tokens_generated = 0
+        self.spec_rounds = 0          # speculative observability: rounds,
+        self.spec_drafted = 0         # draft tokens proposed, and draft
+        self.spec_accepted = 0        # tokens the verifier accepted
         self._t_start: Optional[float] = None
 
         # donate the caches into the decode step: without donation XLA must
@@ -1106,6 +1109,10 @@ class ContinuousBatchingEngine(_PagedPoolOps):
             st["prefix_hits"] = self.alloc.prefix_hits
             st["prefix_cached_pages"] = len(self.alloc.cached)
             st["prefill_tokens_skipped"] = self.prefill_tokens_skipped
+        if self.draft is not None and self.spec_drafted:
+            st["spec_rounds"] = self.spec_rounds
+            st["spec_acceptance"] = round(
+                self.spec_accepted / self.spec_drafted, 4)
         return st
 
     def step(self):
@@ -1230,6 +1237,14 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         cands_host = np.asarray(cands)                  # [n, B, gamma+1]
         produceds_host = np.asarray(produceds)          # [n, B]
         lps_host = np.asarray(lpss) if self._lp_slots else None
+        # verifier-level acceptance observability (pre-truncation: what
+        # the device accepted; slots active at dispatch time)
+        act_idx = np.flatnonzero(active)
+        self.spec_rounds += produceds_host.shape[0]
+        self.spec_drafted += self.spec_gamma * len(act_idx) \
+            * produceds_host.shape[0]
+        self.spec_accepted += int(
+            (produceds_host[:, act_idx] - 1).clip(min=0).sum())
         # replay rounds in order; the bookkeeper truncates each slot at
         # EOS/max_new and ignores post-finish junk rounds, returning the
         # per-slot counts actually appended (both backends)

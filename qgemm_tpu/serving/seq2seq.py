@@ -192,6 +192,9 @@ class Seq2SeqEngine(_PagedPoolOps):
         self.topks = jnp.zeros((max_slots,), jnp.int32)
         self.finished: List[Request] = []
         self.tokens_generated = 0
+        self.spec_rounds = 0
+        self.spec_drafted = 0
+        self.spec_accepted = 0
         self._t_start = None
         self._lp_slots: Dict[int, Request] = {}
         self._admit_times: List[float] = []
@@ -540,6 +543,10 @@ class Seq2SeqEngine(_PagedPoolOps):
               "steps": int(self.steps), "wall_s": round(wall, 3),
               "tokens_per_s": round(self.tokens_generated / wall, 2)
               if wall else 0.0}
+        if self.draft is not None and self.spec_drafted:
+            st["spec_rounds"] = self.spec_rounds
+            st["spec_acceptance"] = round(
+                self.spec_accepted / self.spec_drafted, 4)
         return self._stats_common(st)
 
     def step(self):
@@ -647,6 +654,12 @@ class Seq2SeqEngine(_PagedPoolOps):
         cands_host = np.asarray(cands)
         produceds_host = np.asarray(produceds)
         lps_host = np.asarray(lpss) if self._lp_slots else None
+        act_idx = np.flatnonzero(active)
+        self.spec_rounds += produceds_host.shape[0]
+        self.spec_drafted += self.spec_gamma * len(act_idx) \
+            * produceds_host.shape[0]
+        self.spec_accepted += int(
+            (produceds_host[:, act_idx] - 1).clip(min=0).sum())
         for i in range(cands_host.shape[0]):
             if not self.book.active_mask().any():
                 break
