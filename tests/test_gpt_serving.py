@@ -871,7 +871,9 @@ def test_stop_token_sets_all_modes_and_backends():
     assert e0 is None and e1 is None
     assert len(t0) == idx + 1 and t0[-1] == tok  # stopped at first match
     assert len(t1) == 6                          # unaffected co-resident
-    assert run("native") == ref
+    from qgemm_tpu.serving import native
+    if native.available():            # lib is a build artifact (make -C csrc)
+        assert run("native") == ref
     assert run(**{"multi_step": 3}) == ref
     assert run(**{"draft_model": model, "spec_gamma": 3}) == ref
     assert run(**{"paged": True, "draft_model": model, "spec_gamma": 3,
