@@ -878,3 +878,25 @@ def test_stop_token_sets_all_modes_and_backends():
     assert run(**{"draft_model": model, "spec_gamma": 3}) == ref
     assert run(**{"paged": True, "draft_model": model, "spec_gamma": 3,
                   "multi_step": 3}) == ref
+
+
+def test_engine_speculative_composes_with_chunked_prefill():
+    """spec x chunked dense admission: long prompts admit chunk-by-chunk
+    while spec rounds serve decode — transcripts equal the plain engine."""
+    cfg = GPTConfig(vocab_size=97, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=2, max_seq_len=512)
+    m = GPT.init(cfg, key=jax.random.PRNGKey(7))
+
+    def run(**kw):
+        eng = ContinuousBatchingEngine(m, max_slots=2, **kw)
+        reqs = [Request(prompt=[1 + i] * (150 + i * 30), max_new_tokens=6)
+                for i in range(3)]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=80)}
+        return [(tuple(fin[r.id].generated), fin[r.id].error) for r in reqs]
+
+    a = run(draft_model=m, spec_gamma=3, chunked_prefill=64)
+    b = run()
+    assert all(e is None for _, e in a), a
+    assert a == b
