@@ -996,6 +996,18 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                 req.token_logprobs.append(float(first_lp))
                 self._lp_slots[slot] = req
             self.book.admitted(slot, int(first_tok))
+            if not self.book.active_mask()[slot]:
+                # finished AT admission (first token hit a stop/EOS, or
+                # max_new_tokens == 1): the slot is already free — drop
+                # the logprobs subscription and release the pages NOW, or
+                # the stale subscription would collect the slot's next
+                # occupant's logprobs and the pages would leak (the
+                # post-step freed-slot sweep only sees slots that were
+                # active when the step began; fuzz-found r4)
+                self._lp_slots.pop(slot, None)
+                if self.paged:
+                    self._release_slot_pages(slot)
+                self.finished.extend(self.book.drain_finished())
             self._admit_times.append(_time.perf_counter() - t_adm)
 
     def _admit_chunked(self, req, slot, plen, key, eff_topk):

@@ -900,3 +900,24 @@ def test_engine_speculative_composes_with_chunked_prefill():
     b = run()
     assert all(e is None for _, e in a), a
     assert a == b
+
+
+def test_admission_finished_request_releases_state():
+    """A request whose FIRST token finishes it (max_new_tokens=1, or the
+    first token hits a stop) must release its logprobs subscription and
+    paged pages at admission — the stale subscription used to collect the
+    slot's next occupant's logprobs and the pages leaked (fuzz-found)."""
+    model = _model(seed=99)
+    for kw in ({}, {"paged": True}):
+        eng = ContinuousBatchingEngine(model, max_slots=1, **kw)
+        one = Request(prompt=[5, 6], max_new_tokens=1, logprobs=True)
+        nxt = Request(prompt=[7, 8], max_new_tokens=4)
+        eng.submit(one)
+        eng.submit(nxt)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=30)}
+        assert len(fin[one.id].generated) == 1
+        # exactly ONE logprob — not the next occupant's stream
+        assert len(fin[one.id].token_logprobs) == 1
+        assert len(fin[nxt.id].generated) == 4
+        if eng.paged:
+            assert eng.alloc.n_free == eng.caches[0].n_pages - 1
