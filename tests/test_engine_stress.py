@@ -89,3 +89,59 @@ def test_engine_stress_invariants(seed, kw):
         # the LRU but COUNT as free — acquisition consumes them)
         assert eng.alloc.n_free == eng.caches[0].n_pages - 1, \
             (eng.alloc.n_free, eng.caches[0].n_pages)
+
+
+@pytest.mark.parametrize("seed,kw", [
+    (0, dict(paged=True, multi_step=3)),
+    (1, dict(spec=True, quantized_cache=True)),
+    (2, dict(paged=True, spec=True, multi_step=2)),
+])
+def test_seq2seq_stress_invariants(seed, kw):
+    from qgemm_tpu.models.transformer import Transformer, TransformerConfig
+    from qgemm_tpu.serving.seq2seq import Seq2SeqEngine
+
+    cfg = TransformerConfig(vocab_size=89, d_model=32, n_heads=4, d_ff=64,
+                            n_layers=2, max_seq_len=64)
+    kw = dict(kw)
+    model = Transformer.init(cfg, key=jax.random.PRNGKey(50 + seed))
+    if kw.pop("spec", False):
+        kw["draft_model"] = Transformer.init(
+            cfg, key=jax.random.PRNGKey(70 + seed))
+        kw["spec_gamma"] = 3
+    eng = Seq2SeqEngine(model, max_slots=3, max_new_tokens=24, **kw)
+    rng = np.random.default_rng(seed)
+
+    reqs = []
+    for i in range(10):
+        src = [1 + int(t) for t in rng.integers(0, 80,
+                                                rng.integers(1, 12))]
+        r = Request(prompt=src,
+                    max_new_tokens=int(rng.integers(1, 10)),
+                    temperature=float(rng.choice([0.0, 0.0, 1.0])),
+                    stop_tokens=[int(rng.integers(1, 80))]
+                    if rng.random() < 0.3 else None,
+                    logprobs=bool(rng.random() < 0.3))
+        reqs.append(r)
+
+    for i, r in enumerate(reqs):
+        eng.submit(r)
+        if i % 3 == 2:
+            for _ in range(int(rng.integers(1, 3))):
+                eng.step()
+        if rng.random() < 0.2:
+            eng.cancel(reqs[int(rng.integers(0, i + 1))].id)
+    fin = {r.id: r for r in eng.run_to_completion(max_steps=2000)}
+
+    assert len(fin) == len(reqs)
+    for r in reqs:
+        f = fin[r.id]
+        assert f.done or f.cancelled, f
+        assert f.error is None, (f.id, f.error)
+        assert len(f.generated) <= r.max_new_tokens
+        if not f.cancelled and r.stop_tokens is None:
+            assert len(f.generated) == r.max_new_tokens
+        if r.logprobs and not f.cancelled:
+            assert len(f.token_logprobs) == len(f.generated)
+    assert eng.book.num_active == 0 and eng.book.num_waiting == 0
+    if eng.paged:
+        assert eng.alloc.n_free == eng.caches[0].n_pages - 1
