@@ -23,8 +23,14 @@ CFG = GPTConfig(vocab_size=97, d_model=32, n_heads=4, d_ff=64, n_layers=2,
     (1, dict(paged=True, chunked_prefill=128, multi_step=3)),
     (2, dict(paged=True, spec=True, multi_step=2)),
     (3, dict(spec=True, quantized_cache=True)),
+    (4, dict(scheduler="native", paged=True, spec=True, multi_step=2)),
+    (5, dict(scheduler="native", chunked_prefill=128)),
 ])
 def test_engine_stress_invariants(seed, kw):
+    if kw.get("scheduler") == "native":
+        from qgemm_tpu.serving import native
+        if not native.available():
+            pytest.skip("libqgemm_sched.so not built")
     kw = dict(kw)
     model = GPT.init(CFG, key=jax.random.PRNGKey(40 + seed))
     if kw.pop("spec", False):
