@@ -921,3 +921,20 @@ def test_admission_finished_request_releases_state():
         assert len(fin[nxt.id].generated) == 4
         if eng.paged:
             assert eng.alloc.n_free == eng.caches[0].n_pages - 1
+
+
+def test_spec_acceptance_stats():
+    """engine.stats reports verifier-level draft acceptance: ~1.0 for a
+    self-draft, ~0 for an unrelated random draft."""
+    model = _model(seed=100)
+    def run(draft):
+        eng = ContinuousBatchingEngine(model, max_slots=2,
+                                       draft_model=draft, spec_gamma=3)
+        for i in range(3):
+            eng.submit(Request(prompt=[5 + i, 6], max_new_tokens=8))
+        eng.run_to_completion(max_steps=60)
+        return eng.stats
+    st = run(model)
+    assert st["spec_rounds"] > 0 and st["spec_acceptance"] > 0.9, st
+    st2 = run(_model(seed=101))
+    assert st2["spec_acceptance"] < 0.3, st2
