@@ -286,6 +286,56 @@ int32_t qg_sched_cancel(void *h, int64_t req_id, int32_t *slot_out) {
   return 0;
 }
 
+// Temporarily drop `slot` out of the active set WITHOUT touching its
+// request (overlapped-admission decode ticks: the slot is mid-prefill, so
+// interleaved record_step calls must neither advance its position nor
+// append junk tokens). Pair with qg_sched_resume_slot. Returns 0, or -1
+// when no request occupies the slot.
+int qg_sched_suspend_slot(void *h, int32_t slot) {
+  auto *s = static_cast<Scheduler *>(h);
+  std::lock_guard<std::mutex> g(s->mu);
+  if (slot < 0 || slot >= s->max_slots || !s->slot_req.count(slot))
+    return -1;
+  s->active[slot] = 0;
+  return 0;
+}
+
+int qg_sched_resume_slot(void *h, int32_t slot) {
+  auto *s = static_cast<Scheduler *>(h);
+  std::lock_guard<std::mutex> g(s->mu);
+  if (slot < 0 || slot >= s->max_slots || !s->slot_req.count(slot))
+    return -1;
+  s->active[slot] = 1;
+  return 0;
+}
+
+// Preempt the ACTIVE request `req_id`: free its slot and REMOVE the
+// request, copying its generated transcript into gen_out (cap elements).
+// The over-commit paged engine resubmits a CONTINUATION request (prompt =
+// original prompt + these tokens, max_new reduced) at the queue front —
+// vLLM-style recompute preemption; re-admission recomputes via the
+// prefix-cache compute-skip path. Returns #generated, -1 if the request
+// is not active, -2 if cap is too small (no change).
+int32_t qg_sched_preempt(void *h, int64_t req_id, int32_t *slot_out,
+                         int32_t *gen_out, int32_t cap) {
+  auto *s = static_cast<Scheduler *>(h);
+  std::lock_guard<std::mutex> g(s->mu);
+  for (auto &kv : s->slot_req) {
+    if (kv.second.id == req_id) {
+      int32_t slot = kv.first;
+      Request &r = kv.second;
+      int32_t n = (int32_t)r.generated.size();
+      if (n > cap) return -2;
+      for (int32_t i = 0; i < n; ++i) gen_out[i] = r.generated[i];
+      if (slot_out) *slot_out = slot;
+      s->slot_req.erase(slot);
+      s->active[slot] = 0;
+      return n;
+    }
+  }
+  return -1;
+}
+
 // Pop the oldest finished request: fills req_id and copies its generated
 // tokens into out (cap elements). Returns #tokens, -1 if none finished,
 // -2 if cap too small (request stays queued).

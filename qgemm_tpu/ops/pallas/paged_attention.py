@@ -29,13 +29,23 @@ QRANGE = 127.0
 _NEG_INF = -1e30
 
 
+def _unpack4(p):
+    """In-kernel int4 nibble unpack (ops/kv_cache.quantize_kv_int4 layout:
+    low nibbles = first half of the head dim, high = second half). int32
+    arithmetic shifts sign-extend both nibbles; one concat, no shuffle."""
+    pi = p.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(pi, 28), 28)
+    hi = jnp.right_shift(pi, 4)
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
+
+
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
 def _paged_kernel(pt_ref, len_ref, q_ref, kq_ref, kc_ref, vq_ref, vc_ref,
                   o_ref, m_scr, l_scr, acc_scr, *, page: int, n_pages: int,
-                  scale: float, cd):
+                  scale: float, cd, bits: int = 8):
     """Grid (B, n_pages): one step processes a whole page for ALL heads at
     once (batched dots over H). Folding H into the block is what makes the
     kernel fast: the r2 first cut gridded (B, H, n_pages) and its ~0.3 us
@@ -58,7 +68,8 @@ def _paged_kernel(pt_ref, len_ref, q_ref, kq_ref, kc_ref, vq_ref, vc_ref,
     @pl.when(j * page < length)
     def _block():
         q = q_ref[0].astype(cd)                         # [H, 1, D]
-        k = kq_ref[0].astype(cd)                        # [H, page, D]
+        kraw = kq_ref[0]                                # [H, page, D']
+        k = (_unpack4(kraw) if bits == 4 else kraw).astype(cd)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)[:, 0] * scale  # [H, page]
@@ -76,7 +87,8 @@ def _paged_kernel(pt_ref, len_ref, q_ref, kq_ref, kc_ref, vq_ref, vc_ref,
         m_scr[:] = m_new
 
         p = p * (vc_ref[0, :, 0, :] * (1.0 / QRANGE))
-        v = vq_ref[0].astype(cd)                        # [H, page, D]
+        vraw = vq_ref[0]                                # [H, page, D']
+        v = (_unpack4(vraw) if bits == 4 else vraw).astype(cd)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
             p[:, None, :].astype(cd), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)[:, 0]   # [H, D]
@@ -95,6 +107,7 @@ def paged_decode_attention(q, cache, lengths):
     page = cache.page_size
     n_pages = cache.page_table.shape[1]
     scale = 1.0 / (d ** 0.5)
+    dw = cache.kq.shape[-1]                             # packed width
 
     q3 = q[:, :, 0].reshape(b, h, 1, d)                 # [B, H, 1, D]
 
@@ -111,9 +124,9 @@ def paged_decode_attention(q, cache, lengths):
         grid=(b, n_pages),
         in_specs=[
             pl.BlockSpec((1, h, 1, d), lambda b, j, pt, ln: (b, 0, 0, 0)),
-            pl.BlockSpec((1, h, page, d), kv_ix),
+            pl.BlockSpec((1, h, page, dw), kv_ix),
             pl.BlockSpec((1, h, 1, page), kv_ix),
-            pl.BlockSpec((1, h, page, d), kv_ix),
+            pl.BlockSpec((1, h, page, dw), kv_ix),
             pl.BlockSpec((1, h, 1, page), kv_ix),
         ],
         out_specs=pl.BlockSpec((1, h, d), lambda b, j, pt, ln: (b, 0, 0)),
@@ -125,7 +138,7 @@ def paged_decode_attention(q, cache, lengths):
     )
     out = pl.pallas_call(
         functools.partial(_paged_kernel, page=page, n_pages=n_pages,
-                          scale=scale,
+                          scale=scale, bits=cache.kv_bits,
                           # bf16 dots on the MXU; f32 on CPU interpret so
                           # the oracle comparison is exact
                           cd=jnp.float32 if _interpret() else jnp.bfloat16),
@@ -142,7 +155,8 @@ RAGGED_UNROLL = 2
 
 
 def _ragged_kernel(ss_ref, sp_ref, pt_ref, len_ref, q_ref, *rest, page: int,
-                   scale: float, cd, unroll: int, groups: int = 1):
+                   scale: float, cd, unroll: int, groups: int = 1,
+                   bits: int = 8):
     """Flat ragged grid: step t processes logical pages
     sp_ref[t] .. sp_ref[t]+unroll-1 of slot ss_ref[t]. Same math as the
     rectangular kernel; the differences are (a) the grid only has steps for
@@ -186,7 +200,9 @@ def _ragged_kernel(ss_ref, sp_ref, pt_ref, len_ref, q_ref, *rest, page: int,
             # sliced converts into the dot pipeline better.)
             srows = []
             for hi in range(hkv):
-                kb = kq_ref[0, hi].astype(cd)           # [page, D]
+                kb_raw = kq_ref[0, hi]                  # [page, D']
+                kb = (_unpack4(kb_raw) if bits == 4
+                      else kb_raw).astype(cd)
                 qh = q_ref[0, hi * groups:(hi + 1) * groups, 0].astype(cd)
                 srows.append(jax.lax.dot_general(
                     qh, kb, (((1,), (1,)), ((), ())),
@@ -212,7 +228,9 @@ def _ragged_kernel(ss_ref, sp_ref, pt_ref, len_ref, q_ref, *rest, page: int,
             p = p * (rep(vc_ref[0, :, 0, :]) * (1.0 / QRANGE))
             orows = []
             for hi in range(hkv):
-                vb = vq_ref[0, hi].astype(cd)           # [page, D]
+                vb_raw = vq_ref[0, hi]                  # [page, D']
+                vb = (_unpack4(vb_raw) if bits == 4
+                      else vb_raw).astype(cd)
                 orows.append(jax.lax.dot_general(
                     p[hi * groups:(hi + 1) * groups].astype(cd), vb,
                     (((1,), (0,)), ((), ())),
@@ -264,12 +282,13 @@ def paged_decode_attention_ragged(q, cache, lengths):
             return (pt[bb, jr], 0, 0, 0)
         return ix
 
+    dw = cache.kq.shape[-1]              # packed width (D or D/2 at int4)
     kv_specs, kv_args = [], []
     for u in range(unroll):
         kv_specs += [
-            pl.BlockSpec((1, h, page, d), kv_ix(u)),
+            pl.BlockSpec((1, h, page, dw), kv_ix(u)),
             pl.BlockSpec((1, h, 1, page), kv_ix(u)),
-            pl.BlockSpec((1, h, page, d), kv_ix(u)),
+            pl.BlockSpec((1, h, page, dw), kv_ix(u)),
             pl.BlockSpec((1, h, 1, page), kv_ix(u)),
         ]
         kv_args += [cache.kq, cache.kc, cache.vq, cache.vc]
@@ -292,7 +311,8 @@ def paged_decode_attention_ragged(q, cache, lengths):
     out = pl.pallas_call(
         functools.partial(_ragged_kernel, page=page, scale=scale,
                           cd=jnp.float32 if _interpret() else jnp.bfloat16,
-                          unroll=unroll, groups=groups),
+                          unroll=unroll, groups=groups,
+                          bits=cache.kv_bits),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
         compiler_params=_compiler_params(("arbitrary", "arbitrary")),
@@ -438,6 +458,9 @@ def paged_context_attention(q, cache, lengths, offset):
     einsum feeds the MXU better than per-page 128-wide score tiles; page
     unrolling did not close the gap). The model layer therefore defaults
     to the oracle — see models.attention._paged_context_attend."""
+    assert cache.kv_bits == 8, \
+        "paged_context_attention is int8-pool-only; the int4-KV path " \
+        "uses the gather reference (which unpacks) for context chunks"
     b, hq, c, d = q.shape
     h = cache.kq.shape[1]                # pool (KV) heads
     groups = hq // h

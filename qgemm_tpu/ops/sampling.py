@@ -86,6 +86,50 @@ def warped_probs(logits, temperature=1.0, top_k=0, top_p=1.0):
     return jnp.where((temp <= 1e-6)[:, None], onehot, probs)
 
 
+def sample_logits_with_prob(logits, key, temperature=1.0, top_k=0,
+                            top_p=1.0):
+    """``sample_logits`` that ALSO returns each sampled token's probability
+    under the warped distribution it was drawn from — computed in SORTED
+    space (the rank is known from the categorical draw), so speculative
+    draft steps get the acceptance-ratio denominator q(x) WITHOUT
+    scattering a full [B, V] warped distribution back to token order
+    (r4 verdict item 4: that scatter per draft step cost the stochastic
+    tier 38% of its greedy win). Greedy slots return prob 1 (one-hot).
+    Returns (tokens [B] int32, probs [B] f32)."""
+    lg = logits.astype(jnp.float32)
+    greedy_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+    scaled, sort_idx, temp = _warped_sorted(lg, temperature, top_k, top_p)
+    choice = jax.random.categorical(key, scaled, axis=-1)       # rank [B]
+    sampled = jnp.take_along_axis(
+        sort_idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+    lse = jax.nn.logsumexp(scaled, axis=-1)
+    qx = jnp.exp(jnp.take_along_axis(scaled, choice[:, None],
+                                     axis=-1)[:, 0] - lse)
+    greedy = temp <= 1e-6
+    return (jnp.where(greedy, greedy_tok, sampled),
+            jnp.where(greedy, 1.0, qx))
+
+
+def warped_token_probs(logits, tokens, temperature=1.0, top_k=0,
+                       top_p=1.0):
+    """Probability of the GIVEN tokens under the warped distribution
+    (same pipeline as ``warped_probs``) — sorted-space evaluation: the
+    token's rank comes from one O(V) compare+argmax against the sort
+    permutation instead of scattering the whole [B, V] distribution back
+    to token order. Filtered-out tokens get 0; greedy (temp <= 1e-6)
+    returns the exact one-hot value (1 iff argmax). logits [B, V],
+    tokens [B] -> [B] f32."""
+    lg = logits.astype(jnp.float32)
+    scaled, sort_idx, temp = _warped_sorted(lg, temperature, top_k, top_p)
+    rank = jnp.argmax((sort_idx == tokens[:, None].astype(sort_idx.dtype))
+                      .astype(jnp.int32), axis=-1)
+    lse = jax.nn.logsumexp(scaled, axis=-1)
+    px = jnp.exp(jnp.take_along_axis(scaled, rank[:, None],
+                                     axis=-1)[:, 0] - lse)
+    greedy_hit = (rank == 0).astype(jnp.float32)
+    return jnp.where(temp <= 1e-6, greedy_hit, px)
+
+
 def token_logprob(logits, tokens):
     """Natural-log probability of each chosen token under the UNMODIFIED
     softmax distribution (pre-temperature/filtering — the standard serving

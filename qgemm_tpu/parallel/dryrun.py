@@ -166,6 +166,36 @@ def run_dryrun(n_devices: int) -> None:
         [r.error for r in spfin]
     assert all(len(r.generated) == 5 for r in spfin)
 
+    # --- over-commit + preemption x paged x TP (r5): admission on
+    # pages-needed-now, pool pressure preempts the youngest slot, its
+    # continuation re-admits through the sharded prefill ---------------
+    oeng = ContinuousBatchingEngine(pgpt_sharded, max_slots=2, mesh=mesh,
+                                    paged=True, overcommit=True,
+                                    n_pages=9, page_size=8)
+    for t in (15, 17):
+        oeng.submit(Request(prompt=[t, t + 1, t + 2], max_new_tokens=40))
+    ofin = oeng.run_to_completion(max_steps=400)
+    assert len(ofin) == 2 and all(r.error is None for r in ofin), \
+        [r.error for r in ofin]
+    assert all(len(r.generated) == 40 for r in ofin)
+
+    # --- MoE GPT in the engine under the mesh (r5): expert-sharded
+    # w_up/w_down (GSPMD) + shard_map attention, dense and paged -------
+    mcfg = _GPTConfig(vocab_size=64, d_model=8 * model_par,
+                      n_heads=model_par, d_ff=16 * model_par, n_layers=2,
+                      max_seq_len=128, n_experts=n_devices, moe_top_k=2)
+    mgpt = _GPT.init(mcfg, key=jax.random.PRNGKey(31)).quantize()
+    mgpt_sharded = shard_quantized_model(mgpt, mesh)
+    for kw in ({}, {"paged": True}):
+        meng = ContinuousBatchingEngine(mgpt_sharded, max_slots=2,
+                                        mesh=mesh, **kw)
+        for t in (19, 21):
+            meng.submit(Request(prompt=[t, t + 1], max_new_tokens=3))
+        mfin = meng.run_to_completion(max_steps=60)
+        assert len(mfin) == 2 and all(r.error is None for r in mfin), \
+            [r.error for r in mfin]
+        assert all(len(r.generated) == 3 for r in mfin)
+
     # --- all-to-all expert parallelism (r3) --------------------------------
     from qgemm_tpu.models.moe import MoEFeedForward
     from qgemm_tpu.parallel.expert import ep_moe_forward_a2a, shard_moe

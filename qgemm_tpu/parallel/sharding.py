@@ -44,11 +44,16 @@ def _path_str(path) -> str:
 
 def _spec_for_leaf(path, leaf):
     p = _path_str(path)
-    if "ffn" in p and getattr(leaf, "ndim", 0) == 3:
-        # MoE expert-stacked tensors [E, ...] (w_up/w_down values or their
-        # [E, 1, out] scales): shard the EXPERT dim over the model axis —
-        # expert parallelism through GSPMD (the dispatch/FFN/combine
-        # einsums partition on E; XLA inserts the psum-style combine).
+    if ("ffn" in p and ("w_up" in p or "w_down" in p)
+            and getattr(leaf, "ndim", 0) == 3):
+        # MoE expert-stacked tensors [E, ...] — specifically the
+        # MoEFeedForward w_up/w_down leaves (float [E, d, f] or their
+        # QuantizedExpertWeight q [E, in, out] / c [E, 1, out] scales):
+        # shard the EXPERT dim over the model axis — expert parallelism
+        # through GSPMD (the dispatch/FFN/combine einsums partition on E;
+        # XLA inserts the psum-style combine). Matching the leaf NAME, not
+        # just any 3-D tensor under an ffn path, keeps a future non-expert
+        # 3-D tensor from being silently mis-sharded (r4 advisor finding).
         # The router [d, E] stays replicated (no rule matches it).
         return P("model", None, None)
     for substrings, spec2d, spec1d in _RULES:

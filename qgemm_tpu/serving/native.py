@@ -61,6 +61,12 @@ def _load():
     lib.qg_sched_pop_finished.restype = i32
     lib.qg_sched_cancel.argtypes = [c.c_void_p, i64, i32p]
     lib.qg_sched_cancel.restype = i32
+    lib.qg_sched_preempt.argtypes = [c.c_void_p, i64, i32p, i32p, i32]
+    lib.qg_sched_preempt.restype = i32
+    lib.qg_sched_suspend_slot.argtypes = [c.c_void_p, i32]
+    lib.qg_sched_suspend_slot.restype = c.c_int
+    lib.qg_sched_resume_slot.argtypes = [c.c_void_p, i32]
+    lib.qg_sched_resume_slot.restype = c.c_int
     lib.qg_sched_slot_request.argtypes = [c.c_void_p, i32]
     lib.qg_sched_slot_request.restype = i64
     _lib = lib
@@ -195,6 +201,29 @@ class NativeScheduler:
         """Id of the request occupying ``slot``, or None when free."""
         rid = self._lib.qg_sched_slot_request(self._h, slot)
         return None if rid < 0 else int(rid)
+
+    def preempt(self, req_id: int):
+        """Preempt an ACTIVE request: free its slot and REMOVE it,
+        returning its transcript so the engine can resubmit a continuation.
+        -> (slot, generated ndarray) or None when the request is not
+        active."""
+        slot = ctypes.c_int32(-1)
+        out, ptr = _i32arr(np.zeros(self.max_seq_len, np.int32))
+        n = self._lib.qg_sched_preempt(self._h, req_id, ctypes.byref(slot),
+                                       ptr, self.max_seq_len)
+        if n < 0:
+            return None
+        return slot.value, out[:n]
+
+    def suspend_slot(self, slot: int) -> None:
+        """Drop ``slot`` from the active set without touching its request
+        (overlapped-admission ticks). Pair with resume_slot."""
+        assert self._lib.qg_sched_suspend_slot(self._h, slot) == 0
+
+    def resume_slot(self, slot: int) -> None:
+        # -1 (no occupant) tolerated: decode-fault recovery mid-overlap
+        # may have cancelled the suspended slot already
+        self._lib.qg_sched_resume_slot(self._h, slot)
 
     def cancel(self, req_id: int):
         """-> None (unknown/finished), or the freed slot id / -1 if the

@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qgemm_tpu.ops.kv_cache import QRANGE, quantize_kv as quantize_rows
+from qgemm_tpu.ops.kv_cache import (QRANGE, quantize_kv as quantize_rows,
+                                    quantize_kv_int4, unpack_int4_kv)
 
 PAGE_SIZE = 128
 
@@ -40,7 +41,7 @@ PAGE_SIZE = 128
 @partial(jax.tree_util.register_dataclass,
          data_fields=("kq", "kc", "vq", "vc", "page_table", "step_slot",
                       "step_page"),
-         meta_fields=("page_size",))
+         meta_fields=("page_size", "kv_bits"))
 @dataclass
 class PagedKVCache:
     """One layer's paged cache.
@@ -65,6 +66,11 @@ class PagedKVCache:
     step_slot: Optional[jax.Array] = None
     step_page: Optional[jax.Array] = None
     page_size: int = PAGE_SIZE
+    # 4 = int4-packed pools (two nibbles per byte along the head dim,
+    # ops/kv_cache.quantize_kv_int4): halves cache HBM/read-bytes again
+    # over int8. Scales stay in the int8 convention (pre-scaled), so
+    # readers' math is bit-for-bit the same — only writers/unpack branch.
+    kv_bits: int = 8
 
     @property
     def n_pages(self) -> int:
@@ -103,13 +109,15 @@ def build_step_tables(alloc_counts, pages_per_slot: int, bucket: int = 16,
 
 def init_paged_cache(n_heads: int, head_dim: int, n_pages: int,
                      batch: int, pages_per_slot: int,
-                     page_size: int = PAGE_SIZE) -> PagedKVCache:
-    z8 = lambda: jnp.zeros((n_pages, n_heads, page_size, head_dim), jnp.int8)
+                     page_size: int = PAGE_SIZE,
+                     kv_bits: int = 8) -> PagedKVCache:
+    dw = head_dim if kv_bits == 8 else head_dim // 2   # packed width
+    z8 = lambda: jnp.zeros((n_pages, n_heads, page_size, dw), jnp.int8)
     zf = lambda: jnp.ones((n_pages, n_heads, 1, page_size), jnp.float32)
     return PagedKVCache(
         kq=z8(), kc=zf(), vq=z8(), vc=zf(),
         page_table=jnp.zeros((batch, pages_per_slot), jnp.int32),
-        page_size=page_size)
+        page_size=page_size, kv_bits=kv_bits)
 
 
 class PageAllocator:
@@ -163,11 +171,17 @@ class PageAllocator:
         written into the device page table). Raises if the pool or the
         slot's table is exhausted."""
         need = self.pages_needed(n_tokens, page_size)
+        have = len(self.slot_pages[slot])
+        if need > self.pages_per_slot:
+            raise RuntimeError(f"slot {slot}: page table full ({need})")
+        # ATOMIC: check the whole allocation up front so exhaustion never
+        # leaves pages in slot_pages that the caller's device table missed
+        # (the over-commit tier preempts and RETRIES after this raise)
+        if need - have > self.n_free:
+            raise RuntimeError("page pool exhausted")
         new = []
         while len(self.slot_pages[slot]) < need:
             j = len(self.slot_pages[slot])
-            if j >= self.pages_per_slot:
-                raise RuntimeError(f"slot {slot}: page table full ({j})")
             p = self._take_page()
             self.refs[p] = 1
             self.slot_pages[slot].append(p)
@@ -248,8 +262,9 @@ def paged_write_step(cache: PagedKVCache, k_new, v_new, positions):
                                axis=1)[:, 0]                    # [B]
     off = positions % ps
 
-    kq, kc = quantize_rows(k_new[:, :, 0, :])                   # [B, H, D]
-    vq, vc = quantize_rows(v_new[:, :, 0, :])
+    qrows = quantize_kv_int4 if cache.kv_bits == 4 else quantize_rows
+    kq, kc = qrows(k_new[:, :, 0, :])                           # [B, H, D']
+    vq, vc = qrows(v_new[:, :, 0, :])
     del b
 
     def scat(pool, val):
@@ -277,8 +292,9 @@ def paged_write_prompt(cache: PagedKVCache, slot, k_prompt, v_prompt,
     ps = cache.page_size
     s_bucket = k_prompt.shape[1]
     n_log = s_bucket // ps
-    kq, kc = quantize_rows(k_prompt)                            # [H, S, D]
-    vq, vc = quantize_rows(v_prompt)
+    qrows = quantize_kv_int4 if cache.kv_bits == 4 else quantize_rows
+    kq, kc = qrows(k_prompt)                                    # [H, S, D']
+    vq, vc = qrows(v_prompt)
 
     def write_page(cache_arrays, j):
         kq_p, kc_p, vq_p, vc_p = cache_arrays
@@ -307,8 +323,9 @@ def paged_write_prompt_batch(cache: PagedKVCache, k_prompts, v_prompts):
     (harmless: never read)."""
     ps = cache.page_size
     n_log = k_prompts.shape[2] // ps
-    kq, kc = quantize_rows(k_prompts)                  # [B, H, S, D]
-    vq, vc = quantize_rows(v_prompts)
+    qrows = quantize_kv_int4 if cache.kv_bits == 4 else quantize_rows
+    kq, kc = qrows(k_prompts)                          # [B, H, S, D']
+    vq, vc = qrows(v_prompts)
     kq_p, kc_p, vq_p, vc_p = cache.kq, cache.kc, cache.vq, cache.vc
     for j in range(n_log):
         phys = cache.page_table[:, j]                  # [B]
@@ -332,10 +349,13 @@ def gather_slot_kv(cache: PagedKVCache, max_pages: Optional[int] = None):
         else cache.page_table[:, :max_pages]
 
     def gather(pool):
-        # values pool [P, H, page, D] -> [B, H, n_log*page, D]
-        g = pool[pt]                         # [B, n_log, H, page, D]
+        # values pool [P, H, page, D'] -> [B, H, n_log*page, D]
+        # (int4 pools unpack after the gather; scales are pre-scaled to
+        # the int8 convention so downstream math is unchanged)
+        g = pool[pt]                         # [B, n_log, H, page, D']
         b, n, h, p, d = g.shape
-        return g.transpose(0, 2, 1, 3, 4).reshape(b, h, n * p, d)
+        g = g.transpose(0, 2, 1, 3, 4).reshape(b, h, n * p, d)
+        return unpack_int4_kv(g) if cache.kv_bits == 4 else g
 
     def gather_scale(pool):
         # scales pool [P, H, 1, page] -> [B, H, n_log*page, 1]

@@ -72,7 +72,8 @@ class Seq2SeqEngine(_PagedPoolOps):
                  seed: int = 0, bos_token: int = 1, mesh=None,
                  paged: bool = False, n_pages: Optional[int] = None,
                  multi_step: int = 0, draft_model=None,
-                 spec_gamma: int = 4):
+                 spec_gamma: int = 4, page_size: Optional[int] = None,
+                 kv_bits: int = 8):
         """``mesh``: tensor-parallel serving — pass the mesh the model was
         sharded over (parallel.sharding.shard_quantized_model on a
         ``Transformer.with_tp`` model); the decoder self-caches AND the
@@ -128,19 +129,22 @@ class Seq2SeqEngine(_PagedPoolOps):
             # past the configured decoder budget would run off the model's
             # positional table (review r4 finding — the dense mode rejects
             # the same request)
-            pps = -(-self.max_dec_len // PAGE_SIZE)
-            self.max_dec_len = pps * PAGE_SIZE
+            ps = page_size or PAGE_SIZE
+            pps = -(-self.max_dec_len // ps)
+            self.max_dec_len = pps * ps
             # spec mode: verify chunks write up to spec_extra junk rows
             # past a slot's final position — widen tables + reservations
-            pps += -(-self.spec_extra // PAGE_SIZE)
+            pps += -(-self.spec_extra // ps)
             npg = n_pages or (1 + max_slots * pps)
             hkv_ = getattr(cfg, "n_kv_heads", 0) or cfg.n_heads
             self._pt_host = np.zeros((max_slots, pps), np.int32)
+            assert kv_bits in (8, 4), kv_bits
             self.caches = [init_paged_cache(
-                hkv_, cfg.d_model // cfg.n_heads, npg, max_slots, pps)
+                hkv_, cfg.d_model // cfg.n_heads, npg, max_slots, pps,
+                page_size=ps, kv_bits=kv_bits)
                 for _ in model.dec_blocks]
             self.alloc = PageAllocator(npg, max_slots, pps)
-            self._page_size = PAGE_SIZE
+            self._page_size = ps
         else:
             self.caches = model.init_cache(
                 max_slots, self.max_dec_len + self.spec_extra,
@@ -271,10 +275,9 @@ class Seq2SeqEngine(_PagedPoolOps):
         ``decode_chunk`` at per-slot offsets; Leviathan rejection
         sampling (engine.spec_accept) advances each slot by its accepted
         prefix + 1."""
-        from qgemm_tpu.ops.sampling import warped_probs
+        from qgemm_tpu.ops.sampling import sample_logits_with_prob
 
         from qgemm_tpu.serving.engine import spec_accept
-        warp = lambda lg: warped_probs(lg, temps, topks, topps)
         src_mask = jnp.arange(self.max_src_len)[None, :] < src_lens[:, None]
         kd, kacc, kextra = jax.random.split(key, 3)
 
@@ -283,20 +286,20 @@ class Seq2SeqEngine(_PagedPoolOps):
             k, ks = jax.random.split(k)
             logits, dc = draft.decode_logits(tok, pos + j, denc_kvs, dc,
                                              src_mask=src_mask)
-            q = warp(logits)
-            nxt = jax.random.categorical(ks, jnp.log(q),
-                                         axis=-1).astype(jnp.int32)
-            return (nxt[:, None], dc, k), (nxt, q)
+            nxt, qx = sample_logits_with_prob(logits, ks, temps, topks,
+                                              topps)
+            return (nxt[:, None], dc, k), (nxt, qx, logits)
 
-        (_, dcaches, _), (props, qs) = jax.lax.scan(
+        (_, dcaches, _), (props, qxs, dlogits) = jax.lax.scan(
             dstep, (cur, dcaches, kd), jnp.arange(gamma + 1))
         d = props[:gamma].T
-        qs = qs[:gamma].transpose(1, 0, 2)
+        qx = qxs[:gamma].T
+        dlog = dlogits[:gamma].transpose(1, 0, 2)
         seq = jnp.concatenate([cur, d], axis=1)
         tlogits, caches = model.decode_chunk(seq, pos, enc_kvs, caches,
                                              src_mask=src_mask)
         cand, produced, cur_new, lps = spec_accept(
-            tlogits, d, qs, temps, topps, topks, kacc, kextra, gamma)
+            tlogits, d, qx, dlog, temps, topps, topks, kacc, kextra, gamma)
         return cand, produced, cur_new, lps, caches, dcaches
 
     def _spec_multi_impl(self, model, draft, cur, pos, caches, dcaches,
@@ -666,18 +669,22 @@ class Seq2SeqEngine(_PagedPoolOps):
         cands_host = np.asarray(cands)
         produceds_host = np.asarray(produceds)
         lps_host = np.asarray(lpss) if self._lp_slots else None
-        act_idx = np.flatnonzero(active)
-        self.spec_rounds += produceds_host.shape[0]
-        self.spec_drafted += self.spec_gamma * len(act_idx) \
-            * produceds_host.shape[0]
-        self.spec_accepted += int(
-            (produceds_host[:, act_idx] - 1).clip(min=0).sum())
+        # post-truncation acceptance accounting per replayed round — only
+        # slots still active host-side count (r4 advisor finding; same
+        # fix as ContinuousBatchingEngine._spec_step)
         for i in range(cands_host.shape[0]):
-            if not self.book.active_mask().any():
+            act_i = self.book.active_mask()
+            if not act_i.any():
                 break
             accepted = self.book.record_block(cands_host[i],
                                               produceds_host[i])
             self.tokens_generated += int(accepted.sum())
+            act_slots = np.flatnonzero(act_i)
+            self.spec_rounds += 1
+            self.spec_drafted += self.spec_gamma * len(act_slots)
+            used = np.minimum(accepted[act_slots],
+                              produceds_host[i, act_slots] - 1)
+            self.spec_accepted += int(used.clip(min=0).sum())
             if lps_host is not None:
                 for s, r in list(self._lp_slots.items()):
                     for j in range(int(accepted[s])):
@@ -706,7 +713,9 @@ class Seq2SeqEngine(_PagedPoolOps):
             from qgemm_tpu.serving.paged_cache import init_paged_cache
             tmpl = self.caches[0]
             self.caches = [init_paged_cache(
-                tmpl.kq.shape[1], tmpl.kq.shape[3], tmpl.n_pages,
+                tmpl.kq.shape[1],
+                tmpl.kq.shape[3] * (2 if tmpl.kv_bits == 4 else 1),
+                tmpl.n_pages,
                 self.max_slots, tmpl.page_table.shape[1])
                 for _ in self.model.dec_blocks]
         else:

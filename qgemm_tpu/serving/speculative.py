@@ -195,29 +195,36 @@ def speculative_sample(target, draft, prompt, key, max_new_tokens: int,
         # with this round's draft samples
         key, kd, kacc, kextra = jax.random.split(key, 4)
 
-        # draft: gamma sampled proposals (+1 step closing the cache hole);
-        # keep each step's FULL warped distribution for the ratios
+        # draft: gamma sampled proposals (+1 step closing the cache hole),
+        # drawn in SORTED space so each step yields the proposal AND its
+        # own warped probability q(x) without a full-V scatter (r5 —
+        # engine.spec_accept cost shape; raw logits are kept for the one
+        # rejection-position leftover)
+        from qgemm_tpu.ops.sampling import (sample_logits_with_prob,
+                                            warped_token_probs)
+
         def dstep(carry, j):
             tok, dc, k = carry
             k, ks = jax.random.split(k)
             logits, dc = draft.decode_step(tok[None, None], pos + j, dc)
-            q = warp(logits)[0]                             # [V]
-            nxt = jax.random.categorical(ks, jnp.log(q)).astype(jnp.int32)
-            return (nxt, dc, k), (nxt, q)
+            nxt, qx = sample_logits_with_prob(logits, ks, temperature,
+                                              top_k, top_p)
+            return (nxt[0], dc, k), (nxt[0], qx[0], logits[0])
 
-        (_, dc, _), (props, qs) = jax.lax.scan(
+        (_, dc, _), (props, qxs, dlogits) = jax.lax.scan(
             dstep, (cur, dc, kd), jnp.arange(gamma + 1))
         d = props[:gamma]                                   # [gamma]
-        qs = qs[:gamma]                                     # [gamma, V]
+        qx = qxs[:gamma]                                    # [gamma]
+        dlog = dlogits[:gamma]                              # [gamma, V]
 
         # target scores [cur, d_1..d_gamma] in one chunk forward at pos
         seq = jnp.concatenate([cur[None], d])[None, :]
         tlogits, tc = target.prefill_chunk(seq, pos, tc)
-        p = warp(tlogits[0])                                # [gamma+1, V]
+        # p_i(x_i) as sorted-space scalars (positions act as the batch)
+        px = warped_token_probs(tlogits[0, :gamma], d, temperature,
+                                top_k, top_p)
 
         # accept x_i with prob min(1, p_i(x_i)/q_i(x_i)): u*q(x) < p(x)
-        px = jnp.take_along_axis(p[:gamma], d[:, None], axis=1)[:, 0]
-        qx = jnp.take_along_axis(qs, d[:, None], axis=1)[:, 0]
         u = jax.random.uniform(kacc, (gamma,))
         accept = (u * qx < px).astype(jnp.int32)
         acc = jnp.cumprod(accept)
@@ -226,9 +233,12 @@ def speculative_sample(target, draft, prompt, key, max_new_tokens: int,
         # the extra token: leftover distribution at the first rejection,
         # or the target's own distribution after full acceptance (q at
         # the bonus position is defined 0, making the leftover = p there)
-        q_pad = jnp.concatenate([qs, jnp.zeros((1, v))], axis=0)
-        resid = jnp.maximum(p[n_acc] - q_pad[n_acc], 0.0)
-        dist = jnp.where(jnp.sum(resid) > 1e-9, resid, p[n_acc])
+        # — the only full warped distributions materialized per round
+        p_at = warp(tlogits[0, n_acc][None])[0]             # [V]
+        q_at = warp(dlog[jnp.minimum(n_acc, gamma - 1)][None])[0]
+        q_at = jnp.where(n_acc < gamma, q_at, jnp.zeros((v,)))
+        resid = jnp.maximum(p_at - q_at, 0.0)
+        dist = jnp.where(jnp.sum(resid) > 1e-9, resid, p_at)
         extra = jax.random.categorical(kextra,
                                        jnp.log(dist)).astype(jnp.int32)
 

@@ -66,7 +66,7 @@ def _paged_generate(model, prompt, n_new, caches):
     return toks.T
 
 
-def time_generate_paged(model, prompt, n, n_max, repeats=3):
+def time_generate_paged(model, prompt, n, n_max, repeats=3, kv_bits=8):
     from qgemm_tpu.serving.paged_cache import (PAGE_SIZE, PageAllocator,
                                                PagedKVCache, init_paged_cache)
     import numpy as np
@@ -81,7 +81,8 @@ def time_generate_paged(model, prompt, n, n_max, repeats=3):
         for j, p in alloc.grow(slot, s_p + n_max):
             pt[slot, j] = p
     ptj = jnp.asarray(pt)
-    caches = [init_paged_cache(cfg.n_heads, dh, npg, b, pps)
+    caches = [init_paged_cache(cfg.n_heads, dh, npg, b, pps,
+                               kv_bits=kv_bits)
               for _ in model.blocks]
     from dataclasses import replace
     caches = [replace(c, page_table=ptj) for c in caches]
@@ -111,6 +112,11 @@ def main():
     ap.add_argument("--n-hi", type=int, default=128)
     ap.add_argument("--n-lo", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--kv4", action="store_true",
+                    help="with --paged: also time the int4-KV pool "
+                         "(halves cache read bytes again over int8 — the "
+                         "long-context decode stream; quality pinned in "
+                         "RESULTS_QUALITY.md)")
     ap.add_argument("--paged", action="store_true",
                     help="also time the paged int8 cache path (adds a "
                          "large one-off compile: ~10 min for 24L over the "
@@ -191,6 +197,16 @@ def main():
         results["int8+paged"] = args.batch / per_tok
         log(f"int8+paged: {per_tok*1e3:.3f} ms/step -> "
             f"{results['int8+paged']:,.0f} tokens/s (batch {args.batch})")
+        if args.kv4:
+            t_hi = time_generate_paged(q, prompt, args.n_hi, args.n_hi,
+                                       kv_bits=4)
+            t_lo = time_generate_paged(q, prompt, args.n_lo, args.n_hi,
+                                       kv_bits=4)
+            per_tok = (t_hi - t_lo) / (args.n_hi - args.n_lo)
+            results["int8+paged_kv4"] = args.batch / per_tok
+            log(f"int8+paged int4-KV: {per_tok*1e3:.3f} ms/step -> "
+                f"{results['int8+paged_kv4']:,.0f} tokens/s "
+                f"(batch {args.batch})")
 
     best = max(results, key=results.get)
     out = {

@@ -107,11 +107,71 @@ def main():
                      "copy_acc": round(acc, 4),
                      "kl_vs_f32": round(kl, 8)})
 
+    # ---- KV-cache tier table (r4 verdict item 8): the weight table above
+    # runs cache-free teacher forcing; KV quantization only bites at
+    # DECODE. Teacher-force the same held-out batch through decode_step
+    # (writing each tier's cache as it goes) and KL against the f32
+    # forward — pins what int8-KV and paged int4-KV cost on a trained
+    # checkpoint.
+    def decode_kl(m, tier):
+        b, s = test.shape
+        n_steps = s - 1
+        if tier in ("dense_f32", "dense_int8"):
+            caches = m.init_cache(b, s, quantized=(tier == "dense_int8"))
+        else:
+            from dataclasses import replace
+            from qgemm_tpu.serving.paged_cache import (PageAllocator,
+                                                       build_step_tables,
+                                                       init_paged_cache)
+            import numpy as np
+            bits = 4 if tier == "paged_int4" else 8
+            cfg_ = m.cfg
+            ps_ = 128
+            pps_ = -(-s // ps_)
+            npg_ = 1 + b * pps_
+            dh_ = cfg_.d_model // cfg_.n_heads
+            hkv_ = getattr(cfg_, "n_kv_heads", 0) or cfg_.n_heads
+            alloc_ = PageAllocator(npg_, b, pps_)
+            pt_ = np.zeros((b, pps_), np.int32)
+            for sl in range(b):
+                for j, pg in alloc_.grow(sl, s, ps_):
+                    pt_[sl, j] = pg
+            ss_, sp_ = build_step_tables(
+                [len(p) for p in alloc_.slot_pages], pps_)
+            caches = [replace(init_paged_cache(hkv_, dh_, npg_, b, pps_,
+                                               kv_bits=bits),
+                              page_table=jnp.asarray(pt_),
+                              step_slot=jnp.asarray(ss_),
+                              step_page=jnp.asarray(sp_))
+                      for _ in m.blocks]
+
+        @jax.jit
+        def run(m, caches):
+            def stp(carry, t):
+                caches = carry
+                tok = jax.lax.dynamic_slice_in_dim(test, t, 1, axis=1)
+                lg, caches = m.decode_step(
+                    tok, jnp.full((b,), t, jnp.int32), caches)
+                return caches, lg
+            _, lgs = jax.lax.scan(stp, caches, jnp.arange(n_steps))
+            return lgs.transpose(1, 0, 2)          # [B, n_steps, V]
+        lp = jax.nn.log_softmax(jnp.asarray(run(m, caches), jnp.float32),
+                                axis=-1)
+        return float(jnp.mean(jnp.sum(
+            jnp.exp(ref_lp) * (ref_lp - lp), axis=-1)))
+
+    q8 = model.quantize()
+    kv_rows = []
+    for tier in ("dense_f32", "dense_int8", "paged_int8", "paged_int4"):
+        kl = decode_kl(q8, tier)
+        log(f"int8 weights + {tier:>10} cache: KL(f32||v) {kl:.3e}")
+        kv_rows.append({"kv_tier": tier, "kl_vs_f32": round(kl, 8)})
+
     f32 = rows[0]
     print(json.dumps({
         "metric": "int8_copy_acc_delta_vs_f32",
         "value": round(rows[2]["copy_acc"] - f32["copy_acc"], 4),
-        "unit": "accuracy", "rows": rows,
+        "unit": "accuracy", "rows": rows, "kv_rows": kv_rows,
         "train": {k: round(v, 4) for k, v in st.items()},
     }))
 

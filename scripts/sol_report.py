@@ -149,6 +149,27 @@ def main():
         m4 * k4 * 4 + k4 * n4 // 2 + (k4 // 128) * n4 * 4 + m4 * n4 * 4,
         INT8_TOPS)
 
+    # ---- MoE expert FFN, decode-shaped (weight-stream-bound) --------------
+    # engine-realistic decode shapes: batch 8 top-2 over 8 experts routes
+    # T=8 tokens into [E=8, C=8, d] expert slabs; the einsum streams EVERY
+    # expert's weights per step regardless of C, so SOL = weight bytes/HBM.
+    from qgemm_tpu.models.moe import (quantize_expert_weights,
+                                      quantized_expert_ffn)
+    me, mc, md, mf = 8, 8, 2048, 4096
+    xin = jax.random.normal(k1, (me, mc, md), jnp.float32)
+    wu = quantize_expert_weights(
+        jax.random.uniform(k1, (me, md, mf), jnp.float32, minval=-1,
+                           maxval=1))
+    wd_ = quantize_expert_weights(
+        jax.random.uniform(k2, (me, mf, md), jnp.float32, minval=-1,
+                           maxval=1))
+    moe_bytes = me * (md * mf + mf * md) \
+        + me * (mf + md) * 4 + 2 * me * mc * md * 4
+    row("int8 expert FFN 8Ex8Cx2048dx4096f (decode)",
+        bench(lambda a: quantized_expert_ffn(a, wu, wd_), xin),
+        2 * 2 * me * mc * md * mf, moe_bytes, INT8_TOPS,
+        note="jnp einsum path (models/moe.py)")
+
     # ---- decode attention over int8 KV cache (HBM-bound) ------------------
     from qgemm_tpu.ops.kv_cache import quantize_kv
     from qgemm_tpu.ops.pallas.decode_attention import decode_attention

@@ -938,3 +938,142 @@ def test_spec_acceptance_stats():
     assert st["spec_rounds"] > 0 and st["spec_acceptance"] > 0.9, st
     st2 = run(_model(seed=101))
     assert st2["spec_acceptance"] < 0.3, st2
+
+
+def test_overcommit_preemption_parity_and_throughput():
+    """Over-commit tier (r4 verdict item 3): with an undersized pool and
+    heterogeneous max_new_tokens, overcommit=True admits beyond worst-case
+    reservation, preempts the youngest slot on pool exhaustion (recompute
+    continuation), and STILL produces the reservation-mode transcripts —
+    while holding more slots resident (fewer engine steps to finish)."""
+    model = _model(seed=41)
+    # pool sized well below sum of worst cases: 3 slots x up to
+    # (prompt + 40-new) while the pool holds ~4 pages beyond page 0
+    prompts = [[3 + i, 5, 7] for i in range(6)]
+    max_news = [40, 4, 4, 40, 4, 4]
+
+    def run(**kw):
+        eng = ContinuousBatchingEngine(model, max_slots=3, paged=True,
+                                       n_pages=9, page_size=8, **kw)
+        reqs = [Request(prompt=p, max_new_tokens=n)
+                for p, n in zip(prompts, max_news)]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=500)}
+        assert all(fin[r.id].error is None for r in reqs), \
+            [fin[r.id].error for r in reqs]
+        return [tuple(fin[r.id].generated) for r in reqs], eng
+
+    base, eng0 = run()
+    for sched in ("python", "native"):
+        over, eng1 = run(overcommit=True, scheduler=sched)
+        assert over == base, (sched, over, base)
+        st = eng1.stats
+        assert "preemptions" in st and "pages_reserved" in st
+    # the undersized pool forces reservation mode to serialize the
+    # 40-token requests; overcommit interleaves short requests into the
+    # stranded reserved pages, finishing in fewer engine steps
+    assert eng1.steps < eng0.steps, (eng1.steps, eng0.steps)
+    assert eng1.preemptions >= 0
+
+
+def test_overcommit_forced_preemption():
+    """Pool pressure that MUST preempt: two long requests whose combined
+    growth exceeds the pool. Transcripts still match reservation mode run
+    one-at-a-time, and stats count the preemptions."""
+    model = _model(seed=42)
+    long_a = Request(prompt=[3, 5, 7], max_new_tokens=30)
+    long_b = Request(prompt=[4, 6, 8], max_new_tokens=30)
+
+    # reference transcripts: generous pool, one slot (pure serial)
+    ref = {}
+    for p, n in (((3, 5, 7), 30), ((4, 6, 8), 30)):
+        e = ContinuousBatchingEngine(model, max_slots=1, paged=True,
+                                     page_size=8)
+        r = Request(prompt=list(p), max_new_tokens=n)
+        e.submit(r)
+        e.run_to_completion(max_steps=200)
+        ref[p] = tuple(r.generated)
+
+    eng = ContinuousBatchingEngine(model, max_slots=2, paged=True,
+                                   n_pages=7, page_size=8, overcommit=True)
+    eng.submit(long_a)
+    eng.submit(long_b)
+    fin = {r.id: r for r in eng.run_to_completion(max_steps=500)}
+    assert fin[long_a.id].error is None and fin[long_b.id].error is None
+    assert tuple(fin[long_a.id].generated) == ref[(3, 5, 7)]
+    assert tuple(fin[long_b.id].generated) == ref[(4, 6, 8)]
+    assert eng.preemptions > 0
+
+
+def test_overlap_admission_keeps_residents_decoding():
+    """overlap_admission=True (r4 verdict item 7): a long chunked
+    admission no longer stalls resident slots — they advance one token
+    per admission chunk. Greedy transcripts are bit-equal to the
+    non-overlapped engine; ITL percentiles appear in stats."""
+    cfg = GPTConfig(vocab_size=97, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=2, max_seq_len=640)
+    model = GPT.init(cfg, key=jax.random.PRNGKey(50))
+    long_prompt = [3 + (i % 60) for i in range(500)]
+
+    def run(**kw):
+        eng = ContinuousBatchingEngine(model, max_slots=2, paged=True,
+                                       chunked_prefill=128, **kw)
+        resident = Request(prompt=[5, 6, 7], max_new_tokens=24)
+        eng.submit(resident)
+        eng.step()                      # resident decoding
+        late = Request(prompt=long_prompt, max_new_tokens=4)
+        eng.submit(late)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=200)}
+        assert fin[late.id].error is None and fin[resident.id].error is None
+        return (tuple(fin[resident.id].generated),
+                tuple(fin[late.id].generated), eng)
+
+    base_res, base_late, eng0 = run()
+    over_res, over_late, eng1 = run(overlap_admission=True)
+    assert over_res == base_res
+    assert over_late == base_late
+    assert "itl_p95_ms" in eng1.stats
+    # the overlapped engine finishes the resident request in fewer
+    # post-admission steps (it advanced during the admission)
+    assert eng1.steps <= eng0.steps
+
+
+def test_int4_kv_engine_compositions():
+    """kv_bits=4 paged serving end-to-end: plain, prefix+chunked, and
+    speculative all produce full healthy transcripts (int4-KV changes
+    numerics, so the pin is health + composition, not bit parity; the
+    quality delta is pinned on the trained checkpoint in
+    RESULTS_QUALITY.md)."""
+    cfg = GPTConfig(vocab_size=97, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=2, max_seq_len=512)
+    model = GPT.init(cfg, key=jax.random.PRNGKey(60))
+    long_prompt = [3 + (i % 60) for i in range(300)]
+
+    def run(**kw):
+        eng = ContinuousBatchingEngine(model, max_slots=2, paged=True,
+                                       kv_bits=4, **kw)
+        reqs = [Request(prompt=[5 + i, 6, 7], max_new_tokens=6)
+                for i in range(3)]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=120)}
+        assert all(fin[r.id].error is None for r in reqs), \
+            [fin[r.id].error for r in reqs]
+        assert all(len(fin[r.id].generated) == 6 for r in reqs)
+        return eng
+
+    run()
+    run(draft_model=model.quantize(), spec_gamma=3)
+
+    # prefix-cache + chunked admission over int4 pages
+    eng = ContinuousBatchingEngine(model, max_slots=2, paged=True,
+                                   kv_bits=4, chunked_prefill=128)
+    a = Request(prompt=list(long_prompt), max_new_tokens=4)
+    b = Request(prompt=list(long_prompt), max_new_tokens=4)
+    eng.submit(a)
+    eng.submit(b)
+    fin = {r.id: r for r in eng.run_to_completion(max_steps=60)}
+    assert fin[a.id].error is None and fin[b.id].error is None
+    assert fin[a.id].generated == fin[b.id].generated  # shared int4 pages
+    assert eng.alloc.prefix_hits >= 1

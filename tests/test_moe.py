@@ -261,3 +261,64 @@ def test_moe_gpt_engine_under_mesh_matches_single_device():
         sd = run(m, **kw)
         assert all(e is None for _, e in tp), (kw, tp)
         assert tp == sd, (kw, tp, sd)
+
+
+def test_moe_gpt_with_speculative_decoding():
+    """MoE x speculative serving (r4 verdict item 1c): an MoE target with
+    a draft model speculates through the engine — greedy transcripts
+    bit-equal to the plain MoE engine, dense AND paged caches."""
+    from qgemm_tpu.models.gpt import GPT, GPTConfig
+    from qgemm_tpu.serving.engine import ContinuousBatchingEngine, Request
+
+    cfg = GPTConfig(vocab_size=64, d_model=32, n_heads=4, d_ff=64,
+                    n_layers=2, max_seq_len=128, n_experts=4, moe_top_k=2)
+    model = GPT.init(cfg, key=jax.random.PRNGKey(7)).quantize()
+
+    def run(**kw):
+        eng = ContinuousBatchingEngine(model, max_slots=2, **kw)
+        reqs = [Request(prompt=[1 + i, 2, 3], max_new_tokens=6)
+                for i in range(3)]
+        for r in reqs:
+            eng.submit(r)
+        fin = {r.id: r for r in eng.run_to_completion(max_steps=80)}
+        assert all(fin[r.id].error is None for r in reqs)
+        return [tuple(fin[r.id].generated) for r in reqs]
+
+    plain = run()
+    # self-draft (acceptance ~1) and an unrelated draft (acceptance ~0):
+    # the verifier is the target, so transcripts never change
+    other = GPT.init(cfg, key=jax.random.PRNGKey(8)).quantize()
+    for draft in (model, other):
+        assert run(draft_model=draft, spec_gamma=3) == plain
+        assert run(draft_model=draft, spec_gamma=3, paged=True) == plain
+
+
+def test_grouped_expert_qmm_kernel_parity():
+    """The grouped Pallas expert qmm (ops/pallas/expert_matmul.py — a
+    measured-negative-but-kept option, see its docstring) matches the
+    einsum expert FFN exactly, including C/K/N padding edges."""
+    from qgemm_tpu.models.moe import quantized_expert_ffn
+    from qgemm_tpu.ops.pallas.expert_matmul import (
+        grouped_quantized_matmul_pallas, quantized_expert_ffn_pallas)
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    for e, c, d, f in ((4, 8, 64, 128), (3, 5, 48, 96)):
+        x = jax.random.normal(k1, (e, c, d))
+        wu = quantize_expert_weights(
+            jax.random.uniform(k2, (e, d, f), minval=-1, maxval=1))
+        wd = quantize_expert_weights(
+            jax.random.uniform(k3, (e, f, d), minval=-1, maxval=1))
+        ref = quantized_expert_ffn(x, wu, wd)
+        got = quantized_expert_ffn_pallas(x, wu, wd)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        # single grouped matmul against the einsum formulation
+        from qgemm_tpu.models.moe import _row_quantize
+        from qgemm_tpu.ops.quantize import QRANGE
+        xq, cx = _row_quantize(x)
+        acc = jnp.einsum("ecd,edf->ecf", xq, wu.q,
+                         preferred_element_type=jnp.int32)
+        ref1 = acc.astype(jnp.float32) * (cx * wu.c) / (QRANGE * QRANGE)
+        one = grouped_quantized_matmul_pallas(x, wu.q, wu.c)
+        np.testing.assert_allclose(np.asarray(one), np.asarray(ref1),
+                                   rtol=1e-5, atol=1e-5)

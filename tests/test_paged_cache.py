@@ -627,3 +627,116 @@ def test_paged_chunked_tail_padding_never_overflows_table():
     ref = run()
     assert chunked[1] is None, chunked
     assert chunked == ref
+
+
+def test_paged_kernels_at_other_page_sizes():
+    """Page size is a parameter (r5: engine ``page_size=``, sweep in
+    scripts/bench_page_size.py): the rectangular and ragged decode kernels
+    match the oracle at 64- and 256-token pages, mixed residencies."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dataclasses import replace
+    from qgemm_tpu.serving.paged_cache import (
+        PageAllocator, build_step_tables, init_paged_cache,
+        paged_write_prompt, paged_attention_reference)
+    from qgemm_tpu.ops.pallas.paged_attention import (
+        paged_decode_attention, paged_decode_attention_ragged)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    for ps in (64, 256):
+        b, h, d, pps = 4, 4, 128, 8
+        npg = 1 + b * pps
+        cache = init_paged_cache(h, d, npg, b, pps, page_size=ps)
+        alloc = PageAllocator(npg, b, pps)
+        lens = [ps * 2 - 5, 37, ps, 3 * ps + 11]
+        pt = np.zeros((b, pps), np.int32)
+        for s, ln in enumerate(lens):
+            for j, p in alloc.grow(s, ln, ps):
+                pt[s, j] = p
+        cache = replace(cache, page_table=jnp.asarray(pt))
+        wp = jax.jit(paged_write_prompt)
+        for s, ln in enumerate(lens):
+            ext = -(-ln // ps) * ps
+            kp = jax.random.normal(jax.random.fold_in(k1, s),
+                                   (h, ext, d), jnp.float32)
+            vp = jax.random.normal(jax.random.fold_in(k2, s),
+                                   (h, ext, d), jnp.float32)
+            cache = wp(cache, s, kp, vp)
+        ss, sp = build_step_tables([len(p) for p in alloc.slot_pages], pps)
+        rcache = replace(cache, step_slot=jnp.asarray(ss),
+                         step_page=jnp.asarray(sp))
+        q = jax.random.normal(k2, (b, h, 1, d), jnp.float32)
+        jl = jnp.asarray(lens, jnp.int32)
+        ref = paged_attention_reference(q, cache, jl)
+        tol = 0.02 if jax.default_backend() != "cpu" else 2e-5
+        for fn, c in ((paged_decode_attention, cache),
+                      (paged_decode_attention_ragged, rcache)):
+            got = fn(q, c, jl)
+            assert float(jnp.max(jnp.abs(got - ref))) < tol, (ps, fn)
+
+
+def test_int4_kv_pack_roundtrip():
+    """quantize_kv_int4 <-> unpack_int4_kv: values land within one int4
+    quantization step; scales carry the int8 convention (q * c / 127)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from qgemm_tpu.ops.kv_cache import quantize_kv_int4, unpack_int4_kv
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 5, 64))
+    packed, c = quantize_kv_int4(x)
+    assert packed.shape == (3, 5, 32) and packed.dtype == jnp.int8
+    vals = unpack_int4_kv(packed)
+    assert int(jnp.max(jnp.abs(vals))) <= 7
+    deq = vals.astype(jnp.float32) * (c / 127.0)
+    step = np.asarray(jnp.max(jnp.abs(x), axis=-1, keepdims=True)) / 7.0
+    assert np.all(np.abs(np.asarray(deq - x)) <= step * 0.51 + 1e-6)
+
+
+def test_int4_kv_paged_kernels_match_reference():
+    """Both paged decode kernels read int4-packed pools (in-kernel nibble
+    unpack) and match the gather oracle, which unpacks after the gather —
+    mixed residencies, GQA."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dataclasses import replace
+    from qgemm_tpu.serving.paged_cache import (
+        PageAllocator, build_step_tables, init_paged_cache,
+        paged_write_prompt, paged_attention_reference)
+    from qgemm_tpu.ops.pallas.paged_attention import (
+        paged_decode_attention, paged_decode_attention_ragged)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    b, hkv, g, d, pps, ps = 4, 2, 2, 64, 6, 128
+    npg = 1 + b * pps
+    cache = init_paged_cache(hkv, d, npg, b, pps, page_size=ps, kv_bits=4)
+    assert cache.kq.shape[-1] == d // 2
+    alloc = PageAllocator(npg, b, pps)
+    lens = [200, 37, 128, 300]
+    pt = np.zeros((b, pps), np.int32)
+    for s, ln in enumerate(lens):
+        for j, p in alloc.grow(s, ln, ps):
+            pt[s, j] = p
+    cache = replace(cache, page_table=jnp.asarray(pt))
+    wp = jax.jit(paged_write_prompt)
+    for s, ln in enumerate(lens):
+        ext = -(-ln // ps) * ps
+        kp = jax.random.normal(jax.random.fold_in(k1, s), (hkv, ext, d))
+        vp = jax.random.normal(jax.random.fold_in(k2, s), (hkv, ext, d))
+        cache = wp(cache, s, kp, vp)
+    ss, sp = build_step_tables([len(p) for p in alloc.slot_pages], pps)
+    rcache = replace(cache, step_slot=jnp.asarray(ss),
+                     step_page=jnp.asarray(sp))
+    q = jax.random.normal(k2, (b, hkv * g, 1, d), jnp.float32)
+    jl = jnp.asarray(lens, jnp.int32)
+    ref = paged_attention_reference(q, cache, jl)
+    tol = 0.05 if jax.default_backend() != "cpu" else 2e-5
+    got_r = paged_decode_attention_ragged(q, rcache, jl)
+    assert float(jnp.max(jnp.abs(got_r - ref))) < tol
+    # rectangular kernel is MHA-shaped (H == pool heads)
+    qm = jax.random.normal(k1, (b, hkv, 1, d), jnp.float32)
+    ref_m = paged_attention_reference(qm, cache, jl)
+    got_m = paged_decode_attention(qm, cache, jl)
+    assert float(jnp.max(jnp.abs(got_m - ref_m))) < tol
