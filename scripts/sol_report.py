@@ -66,16 +66,78 @@ the short decode-shaped rows up to ~±25%):
 - **Flash attention ~47% of the MXU roofline** (1024x1024 block sweep;
   was 30% in r2). The A/B on the identical shape: the public JAX TPU
   flash kernel runs 1.046 ms and splash attention 1.026 ms vs 0.186 ms
-  here — 5.6x faster than both, so the remaining gap to the analytic
-  roofline is the VPU-side online-softmax work every flash formulation
-  pays at d=128; the lead grows with context (6.5x at S=8k, 56% of
-  roofline; 7.3x at S=16k, 63%) as the VPU share amortizes.
+  here — 5.6x faster than both; the lead grows with context (6.5x at
+  S=8k, 56% of roofline; 7.3x at S=16k, 63%) as the VPU share amortizes.
+- **r4 CLOSE-OUT — the 53% residual, attributed by ABLATION**
+  (`scripts/flash_attribution.py`; a device trace cannot split VPU/MXU
+  inside one fused Mosaic kernel, so the same kernel was re-run with the
+  online-softmax recurrence stripped — identical grid, DMAs and MXU
+  dots). At S=4k d=128 causal B1 H16: full 0.734 ms, ablated 0.518 ms,
+  triangle-flops roofline 0.349 ms. Decomposition:
+    * **online-softmax VPU work: 0.216 ms (29% of runtime)** — the part
+      r3 claimed; real but NOT the whole residual;
+    * **block-granular causality: +25% extra MXU flops** — 1024-wide
+      blocks visit 10/16 of the S x S plane, not the 1/2 triangle, so
+      the true work is 85.9 GF (ideal 0.436 ms), against which the
+      ablated kernel runs at **84% of peak**; XLA on the identical
+      batched dot chain (incl. the f32->bf16 convert of S) reaches 96%
+      (0.456 ms) — the Pallas grid/DMA overhead vs XLA's ceiling is
+      only ~0.06 ms;
+    * the old "47% of roofline" framing divided by the unreachable
+      triangle number. Verdict: softmax VPU ~2/3 of the addressable
+      residual, wasted over-diagonal flops ~1/4.
+  **r4 follow-up: the "finer K-granularity on diagonal blocks" lever was
+  TAKEN, measured NEGATIVE, and reverted.** Sub-blocking the diagonal
+  block's K axis (db=512 and db=256, static row-sliced dots so sub-block
+  j computes only rows >= j*db — 25-37.5% fewer diagonal MXU flops AND
+  proportionally less exp/reduce VPU work) ran consistently SLOWER than
+  the single-update 1024-wide diagonal: min-of-5 in-process (spread <1%),
+  repeated across processes — S=2k 0.266 vs 0.244 ms, S=4k 0.769 vs
+  0.734, S=8k 2.521 vs 2.441 (db=256 worse still: 0.854 at S=4k). The
+  extra online-softmax update rounds (one per sub-block: fresh
+  max/alpha/acc-rescale over the remaining rows) cost more than the
+  saved flops — the same economics that made 1024 blocks beat 512 in the
+  r3 sweep, now confirmed INSIDE the diagonal block. The 25%
+  over-diagonal flop waste is therefore priced in as cheaper than any
+  finer-granularity recovery on v5e; the residual item is closed.
+- **INT8 flash attention: measured NEGATIVE on v5e, kernel kept as a
+  tested option** (`ops/pallas/int8_flash_attention.py`, r4). The
+  SageAttention direction — K mean-smoothing (softmax-invariant), per-row
+  Q/K int8, int8 MXU dots at 2x bf16 peak — was implemented two ways and
+  both LOSE to the bf16 flash kernel at S=4k d=128 causal: full int8
+  (both dots + P->int8) 0.961 ms, QK^T-only int8 0.840 ms, vs bf16
+  0.734 ms. The attribution above explains why: the kernel is
+  VPU-bound, and int8 ADDS VPU work (the s32->f32 convert + two scale
+  multiplies on every [1024,1024] score block outweigh halving a dot
+  that is only ~0.2 ms of the 0.73). Accuracy is fine (max err 0.02-0.03
+  vs f32, ~2-3x the bf16 kernel's 0.011). Kept exported + parity-tested
+  (CPU interpret + TPU) for hardware where the MXU:VPU ratio differs;
+  NOT wired into the serving path — on v5e the quantization win lives in
+  the GEMMs and the KV cache, not the attention dots.
 - **W4A8 decode-shaped row: best measured 44.5 us (99.7% of its HBM
   roofline)**; the short duration makes it the noisiest row through the
   tunnel (typical 45-59 us, 76-100%).
 - The softmax/layernorm 256-row block heuristic remains the sweep
   optimum (scripts/tune_rowops.py); the fused layernorm+residual kernel
   beats the XLA composition by 22% — that fusion is why it exists.
+- **Paged CONTEXT attention (prefix-skip suffix prefill) intentionally
+  ships as XLA gather+einsum, not a Pallas kernel** — measured, not
+  assumed: the blocked scalar-prefetch kernel
+  (`paged_context_attention`: online softmax over the page walk,
+  128-row VMEM tiles, per-block causal page skip + DMA clamp, 2-page
+  unroll) ran 105 us vs the oracle's 41 us at an engine-realistic
+  suffix (Hkv=16, D=64, C=256 on a 2176-token prompt, 17/18 pages
+  resident). Multi-row chunk attention is COMPUTE-bound, and one fused
+  einsum with N = the whole resident context feeds the MXU far better
+  than per-page 128-wide score tiles; page unrolling didn't close the
+  per-dot-width gap. The kernel wins only when resident length is
+  under ~1/3 of the reserved table width (1.27x at 4/18 pages — the
+  oracle always gathers the full width) and stays exported +
+  parity-tested (tpu_checks 5c) for that regime. Kernel-engineering
+  footnote: the first cut OOMed scoped vmem at 28.6 MB — the 3D
+  [H, R, page] int32 iota/compare mask temps, not the data tiles, were
+  most of the footprint; masks built [R, page] and broadcast plus
+  128-row tiles brought it under budget.
 """
 
 

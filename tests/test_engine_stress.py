@@ -25,6 +25,16 @@ CFG = GPTConfig(vocab_size=97, d_model=32, n_heads=4, d_ff=64, n_layers=2,
     (3, dict(spec=True, quantized_cache=True)),
     (4, dict(scheduler="native", paged=True, spec=True, multi_step=2)),
     (5, dict(scheduler="native", chunked_prefill=128)),
+    # r5 tiers: over-commit preemption under churn (tiny pages force real
+    # pool pressure), overlapped chunked admission, int4-KV pools, and
+    # the native scheduler driving overcommit + overlap together
+    (6, dict(paged=True, overcommit=True, page_size=32, n_pages=16)),
+    (7, dict(paged=True, chunked_prefill=64, overlap_admission=True,
+             page_size=64)),
+    (8, dict(paged=True, kv_bits=4, spec=True, multi_step=2)),
+    (9, dict(scheduler="native", paged=True, overcommit=True,
+             overlap_admission=True, chunked_prefill=64, page_size=32,
+             n_pages=20)),
 ])
 def test_engine_stress_invariants(seed, kw):
     if kw.get("scheduler") == "native":
