@@ -113,7 +113,14 @@ def main():
     # (writing each tier's cache as it goes) and KL against the f32
     # forward — pins what int8-KV and paged int4-KV cost on a trained
     # checkpoint.
+    # serving-realistic batch for the decode kernels (the dense int8-KV
+    # Pallas kernel rejects a 64-wide batch reshape under Mosaic; engines
+    # run 8-16 slots)
+    kv_test = test[:16]
+    kv_ref_lp = ref_lp[:16]
+
     def decode_kl(m, tier):
+        test, ref_lp = kv_test, kv_ref_lp
         b, s = test.shape
         n_steps = s - 1
         if tier in ("dense_f32", "dense_int8"):
