@@ -77,6 +77,13 @@ def warped_probs(logits, temperature=1.0, top_k=0, top_p=1.0):
     max(0, p_t - p_d) are elementwise in it."""
     b, v = logits.shape
     lg = logits.astype(jnp.float32)
+    if _filters_off(top_k, top_p):
+        temp = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (b,))
+        probs = jax.nn.softmax(lg / jnp.maximum(temp, 1e-6)[:, None],
+                               axis=-1)
+        onehot = jax.nn.one_hot(jnp.argmax(lg, axis=-1), v,
+                                dtype=jnp.float32)
+        return jnp.where((temp <= 1e-6)[:, None], onehot, probs)
     scaled, sort_idx, temp = _warped_sorted(lg, temperature, top_k, top_p)
     probs_sorted = jax.nn.softmax(scaled, axis=-1)
     # scatter back to token order through the sort permutation
@@ -84,6 +91,19 @@ def warped_probs(logits, temperature=1.0, top_k=0, top_p=1.0):
         jnp.arange(b)[:, None], sort_idx].set(probs_sorted)
     onehot = jax.nn.one_hot(jnp.argmax(lg, axis=-1), v, dtype=jnp.float32)
     return jnp.where((temp <= 1e-6)[:, None], onehot, probs)
+
+
+def _filters_off(top_k, top_p) -> bool:
+    """True when top-k/top-p are STATICALLY known to be disabled (python
+    literals, e.g. the standalone speculative API's static sampling args).
+    The warp then reduces to softmax(logits/T) — NO SORT. This matters: a
+    full-vocab argsort at serving vocab (50k) costs ~0.7 ms on the VPU,
+    and the stochastic speculative loop pays gamma+1 of them per round
+    just to SAMPLE (measured 4.7x greedy at V=50k with nucleus on —
+    scripts/bench_stochastic_verify.py); with filters off the sorts
+    vanish entirely."""
+    return (isinstance(top_k, int) and top_k == 0
+            and isinstance(top_p, (int, float)) and top_p >= 1.0)
 
 
 def sample_logits_with_prob(logits, key, temperature=1.0, top_k=0,
@@ -97,7 +117,19 @@ def sample_logits_with_prob(logits, key, temperature=1.0, top_k=0,
     tier 38% of its greedy win). Greedy slots return prob 1 (one-hot).
     Returns (tokens [B] int32, probs [B] f32)."""
     lg = logits.astype(jnp.float32)
+    b = lg.shape[0]
     greedy_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+    temp = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (b,))
+    greedy = temp <= 1e-6
+    if _filters_off(top_k, top_p):
+        scaled = lg / jnp.maximum(temp, 1e-6)[:, None]
+        sampled = jax.random.categorical(key, scaled,
+                                         axis=-1).astype(jnp.int32)
+        lse = jax.nn.logsumexp(scaled, axis=-1)
+        qx = jnp.exp(jnp.take_along_axis(scaled, sampled[:, None],
+                                         axis=-1)[:, 0] - lse)
+        return (jnp.where(greedy, greedy_tok, sampled),
+                jnp.where(greedy, 1.0, qx))
     scaled, sort_idx, temp = _warped_sorted(lg, temperature, top_k, top_p)
     choice = jax.random.categorical(key, scaled, axis=-1)       # rank [B]
     sampled = jnp.take_along_axis(
@@ -105,7 +137,6 @@ def sample_logits_with_prob(logits, key, temperature=1.0, top_k=0,
     lse = jax.nn.logsumexp(scaled, axis=-1)
     qx = jnp.exp(jnp.take_along_axis(scaled, choice[:, None],
                                      axis=-1)[:, 0] - lse)
-    greedy = temp <= 1e-6
     return (jnp.where(greedy, greedy_tok, sampled),
             jnp.where(greedy, 1.0, qx))
 
@@ -120,6 +151,16 @@ def warped_token_probs(logits, tokens, temperature=1.0, top_k=0,
     returns the exact one-hot value (1 iff argmax). logits [B, V],
     tokens [B] -> [B] f32."""
     lg = logits.astype(jnp.float32)
+    if _filters_off(top_k, top_p):
+        b = lg.shape[0]
+        temp = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (b,))
+        scaled = lg / jnp.maximum(temp, 1e-6)[:, None]
+        lse = jax.nn.logsumexp(scaled, axis=-1)
+        px = jnp.exp(jnp.take_along_axis(
+            scaled, tokens[:, None].astype(jnp.int32), axis=-1)[:, 0] - lse)
+        greedy_hit = (tokens.astype(jnp.int32)
+                      == jnp.argmax(lg, axis=-1)).astype(jnp.float32)
+        return jnp.where(temp <= 1e-6, greedy_hit, px)
     scaled, sort_idx, temp = _warped_sorted(lg, temperature, top_k, top_p)
     rank = jnp.argmax((sort_idx == tokens[:, None].astype(sort_idx.dtype))
                       .astype(jnp.int32), axis=-1)

@@ -32,8 +32,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qgemm_tpu.ops.kv_cache import (QRANGE, quantize_kv as quantize_rows,
-                                    quantize_kv_int4, unpack_int4_kv)
+from qgemm_tpu.ops.kv_cache import (QRANGE, pack_int4_rows,
+                                    quantize_kv as quantize_rows,
+                                    quantize_kv_int4, unpack_int4_rows)
 
 PAGE_SIZE = 128
 
@@ -66,10 +67,12 @@ class PagedKVCache:
     step_slot: Optional[jax.Array] = None
     step_page: Optional[jax.Array] = None
     page_size: int = PAGE_SIZE
-    # 4 = int4-packed pools (two nibbles per byte along the head dim,
-    # ops/kv_cache.quantize_kv_int4): halves cache HBM/read-bytes again
-    # over int8. Scales stay in the int8 convention (pre-scaled), so
-    # readers' math is bit-for-bit the same — only writers/unpack branch.
+    # 4 = int4-packed pools: two nibbles per byte pairing PAGE POSITIONS
+    # (row r low nibble, row r + page/2 high — ops/kv_cache module note;
+    # pools become [P, H, page/2, D]); halves cache HBM again over int8.
+    # Scales stay full-width [P, H, 1, page] in the int8 convention
+    # (pre-scaled), so readers' math is bit-for-bit the same — only
+    # writers and the kernels' sublane unpack branch.
     kv_bits: int = 8
 
     @property
@@ -111,8 +114,8 @@ def init_paged_cache(n_heads: int, head_dim: int, n_pages: int,
                      batch: int, pages_per_slot: int,
                      page_size: int = PAGE_SIZE,
                      kv_bits: int = 8) -> PagedKVCache:
-    dw = head_dim if kv_bits == 8 else head_dim // 2   # packed width
-    z8 = lambda: jnp.zeros((n_pages, n_heads, page_size, dw), jnp.int8)
+    rw = page_size if kv_bits == 8 else page_size // 2   # packed rows
+    z8 = lambda: jnp.zeros((n_pages, n_heads, rw, head_dim), jnp.int8)
     zf = lambda: jnp.ones((n_pages, n_heads, 1, page_size), jnp.float32)
     return PagedKVCache(
         kq=z8(), kc=zf(), vq=z8(), vc=zf(),
@@ -263,11 +266,28 @@ def paged_write_step(cache: PagedKVCache, k_new, v_new, positions):
     off = positions % ps
 
     qrows = quantize_kv_int4 if cache.kv_bits == 4 else quantize_rows
-    kq, kc = qrows(k_new[:, :, 0, :])                           # [B, H, D']
+    kq, kc = qrows(k_new[:, :, 0, :])                           # [B, H, D]
     vq, vc = qrows(v_new[:, :, 0, :])
     del b
+    hp = cache.page_size // 2
 
     def scat(pool, val):
+        if cache.kv_bits == 4:
+            # position pairs share a byte-row (sublane packing): merge the
+            # written position's nibble into the resident byte (read-
+            # modify-write — decode writes one row per slot, so this is a
+            # [B, H, D] gather + bitwise + scatter, negligible next to the
+            # attention read)
+            row = off % hp
+            is_hi = (off >= hp)[:, None, None]
+            old = pool[phys, :, row].astype(jnp.int32)          # [B, H, D]
+            nib = val.astype(jnp.int32) & 0xF
+            merged = jnp.where(is_hi, (old & 0x0F) | (nib << 4),
+                               (old & ~jnp.int32(0xF)) | nib)
+            # wrap to int8 two's complement explicitly
+            merged = jnp.right_shift(jnp.left_shift(merged, 24), 24)
+            return pool.at[phys, :, row].set(merged.astype(jnp.int8),
+                                             mode="drop")
         # values pool [P, H, page, D]; write val [B, H, D] at (phys_b, :, off_b)
         # (advanced indices split by a slice put the B axis first)
         return pool.at[phys, :, off].set(val, mode="drop")
@@ -293,20 +313,27 @@ def paged_write_prompt(cache: PagedKVCache, slot, k_prompt, v_prompt,
     s_bucket = k_prompt.shape[1]
     n_log = s_bucket // ps
     qrows = quantize_kv_int4 if cache.kv_bits == 4 else quantize_rows
-    kq, kc = qrows(k_prompt)                                    # [H, S, D']
+    kq, kc = qrows(k_prompt)                                    # [H, S, D]
     vq, vc = qrows(v_prompt)
 
     def write_page(cache_arrays, j):
         kq_p, kc_p, vq_p, vc_p = cache_arrays
         phys = cache.page_table[slot, j + first_page]
-        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, j * ps, ps, axis=1)
+        if cache.kv_bits == 4:
+            sl = lambda x: pack_int4_rows(jax.lax.dynamic_slice_in_dim(
+                x, j * ps, ps, axis=1), axis=1)
+        else:
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, j * ps, ps,
+                                                        axis=1)
         put = lambda pool, val: jax.lax.dynamic_update_slice(
             pool, val[None], (phys, 0, 0, 0))
-        # scales [H, page, 1] -> lane-major [1, H, 1, page]
+        # scales [H, page, 1] -> lane-major [1, H, 1, page] (FULL page
+        # width in both bit modes)
+        sl_s = lambda x: jax.lax.dynamic_slice_in_dim(x, j * ps, ps, axis=1)
         put_s = lambda pool, val: jax.lax.dynamic_update_slice(
             pool, val[..., 0][:, None][None], (phys, 0, 0, 0))
-        return (put(kq_p, sl(kq)), put_s(kc_p, sl(kc)),
-                put(vq_p, sl(vq)), put_s(vc_p, sl(vc))), None
+        return (put(kq_p, sl(kq)), put_s(kc_p, sl_s(kc)),
+                put(vq_p, sl(vq)), put_s(vc_p, sl_s(vc))), None
 
     (kq_p, kc_p, vq_p, vc_p), _ = jax.lax.scan(
         write_page, (cache.kq, cache.kc, cache.vq, cache.vc),
@@ -324,14 +351,16 @@ def paged_write_prompt_batch(cache: PagedKVCache, k_prompts, v_prompts):
     ps = cache.page_size
     n_log = k_prompts.shape[2] // ps
     qrows = quantize_kv_int4 if cache.kv_bits == 4 else quantize_rows
-    kq, kc = qrows(k_prompts)                          # [B, H, S, D']
+    kq, kc = qrows(k_prompts)                          # [B, H, S, D]
     vq, vc = qrows(v_prompts)
     kq_p, kc_p, vq_p, vc_p = cache.kq, cache.kc, cache.vq, cache.vc
+    pk = (lambda x: pack_int4_rows(x, axis=2)) if cache.kv_bits == 4 \
+        else (lambda x: x)
     for j in range(n_log):
         phys = cache.page_table[:, j]                  # [B]
         sl = slice(j * ps, (j + 1) * ps)
-        kq_p = kq_p.at[phys].set(kq[:, :, sl], mode="drop")
-        vq_p = vq_p.at[phys].set(vq[:, :, sl], mode="drop")
+        kq_p = kq_p.at[phys].set(pk(kq[:, :, sl]), mode="drop")
+        vq_p = vq_p.at[phys].set(pk(vq[:, :, sl]), mode="drop")
         # scales pool is lane-major [P, H, 1, page]
         kc_p = kc_p.at[phys].set(
             kc[:, :, sl, 0][:, :, None, :], mode="drop")
@@ -349,13 +378,15 @@ def gather_slot_kv(cache: PagedKVCache, max_pages: Optional[int] = None):
         else cache.page_table[:, :max_pages]
 
     def gather(pool):
-        # values pool [P, H, page, D'] -> [B, H, n_log*page, D]
-        # (int4 pools unpack after the gather; scales are pre-scaled to
-        # the int8 convention so downstream math is unchanged)
-        g = pool[pt]                         # [B, n_log, H, page, D']
+        # values pool [P, H, rows, D] -> [B, H, n_log*page, D]
+        # (int4 pools unpack PER PAGE along the row axis after the
+        # gather; scales are pre-scaled to the int8 convention so
+        # downstream math is unchanged)
+        g = pool[pt]                         # [B, n_log, H, rows, D]
+        if cache.kv_bits == 4:
+            g = unpack_int4_rows(g, axis=3)  # rows -> page
         b, n, h, p, d = g.shape
-        g = g.transpose(0, 2, 1, 3, 4).reshape(b, h, n * p, d)
-        return unpack_int4_kv(g) if cache.kv_bits == 4 else g
+        return g.transpose(0, 2, 1, 3, 4).reshape(b, h, n * p, d)
 
     def gather_scale(pool):
         # scales pool [P, H, 1, page] -> [B, H, n_log*page, 1]

@@ -137,7 +137,8 @@ def speculative_generate(target, draft, prompt, max_new_tokens: int,
 
 
 @functools.partial(jax.jit, static_argnames=("max_new_tokens", "gamma",
-                                             "quantized_cache", "eos_token"))
+                                             "quantized_cache", "eos_token",
+                                             "top_k", "top_p"))
 def speculative_sample(target, draft, prompt, key, max_new_tokens: int,
                        gamma: int = 4, temperature=1.0, top_k=0, top_p=1.0,
                        quantized_cache: bool = False,

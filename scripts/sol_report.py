@@ -50,19 +50,26 @@ the short decode-shaped rows up to ~±25%):
   at ~100%, making the three rows mutually consistent.
 - **Row ops are calibrated against the MEASURED stream ceiling** (the
   pure read+write row: ~81% of the 819 GB/s paper figure, i.e. ~660 GB/s
-  achievable for this pattern). Against it: softmax ~69%, layernorm ~79%
-  of achievable; the rest is the exp/rsqrt VPU time (XLA's own fused
-  softmax is within 10% of the Pallas kernel). The stream row must be
-  carry-chained — under the normal harness XLA collapses sum(a*k) to
-  k*sum(a) and drops the write.
+  achievable for this pattern); their byte models count the harness's
+  own consumption read (see the r5 close-out bullet below — the r3
+  "residual is exp/rsqrt VPU time" claim was an accounting artifact; the
+  VPU work is fully hidden). The stream row must be carry-chained —
+  under the normal harness XLA collapses sum(a*k) to k*sum(a) and drops
+  the write.
 - **Paged decode: ragged grid ~68% vs rectangular ~47%** (one grid step
   per two ALLOCATED pages from host-built scalar-prefetch step tables;
   beyond-resident DMA clamps to the slot's last page, so idle steps move
   zero bytes; 53.5 us by device trace). The residual is per-page compute
   (small per-KV-head MXU dots vs a 0.64 us page DMA); a 4-page unroll
   measured the same, so the floor is the serial per-page dot chain, not
-  grid-step overhead — beating ~70% needs wider pages, which trades
-  against allocator granularity.
+  grid-step overhead. **r5: the "wider pages" lever was MEASURED
+  end-to-end and refuted** (`scripts/bench_page_size.py`, 6.86B int8 at
+  1024-token context, batch 8): 64-token pages 301.8 tok/s, 128 pages
+  301.6 (tied), 256 pages 277.3 (-8% — the wider page's partial-tail
+  positions still DMA and the per-step dot grows without more overlap).
+  128 stays the default (64 ties on speed but doubles page-table and
+  prefix-hash work); page size is now an engine parameter, with kernel
+  parity pinned at 64/128/256.
 - **Flash attention ~47% of the MXU roofline** (1024x1024 block sweep;
   was 30% in r2). The A/B on the identical shape: the public JAX TPU
   flash kernel runs 1.046 ms and splash attention 1.026 ms vs 0.186 ms

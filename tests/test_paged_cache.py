@@ -682,16 +682,21 @@ def test_int4_kv_pack_roundtrip():
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from qgemm_tpu.ops.kv_cache import quantize_kv_int4, unpack_int4_kv
+    from qgemm_tpu.ops.kv_cache import quantize_kv_int4
 
-    x = jax.random.normal(jax.random.PRNGKey(0), (3, 5, 64))
-    packed, c = quantize_kv_int4(x)
-    assert packed.shape == (3, 5, 32) and packed.dtype == jnp.int8
-    vals = unpack_int4_kv(packed)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 8, 64))
+    vals, c = quantize_kv_int4(x)
+    assert vals.shape == x.shape and vals.dtype == jnp.int8
     assert int(jnp.max(jnp.abs(vals))) <= 7
     deq = vals.astype(jnp.float32) * (c / 127.0)
     step = np.asarray(jnp.max(jnp.abs(x), axis=-1, keepdims=True)) / 7.0
     assert np.all(np.abs(np.asarray(deq - x)) <= step * 0.51 + 1e-6)
+    # sublane row pack/unpack roundtrip (the POOL layout)
+    from qgemm_tpu.ops.kv_cache import pack_int4_rows, unpack_int4_rows
+    packed = pack_int4_rows(vals, axis=1)
+    assert packed.shape == (3, 4, 64)
+    assert np.array_equal(np.asarray(unpack_int4_rows(packed, axis=1)),
+                          np.asarray(vals))
 
 
 def test_int4_kv_paged_kernels_match_reference():
@@ -712,7 +717,7 @@ def test_int4_kv_paged_kernels_match_reference():
     b, hkv, g, d, pps, ps = 4, 2, 2, 64, 6, 128
     npg = 1 + b * pps
     cache = init_paged_cache(hkv, d, npg, b, pps, page_size=ps, kv_bits=4)
-    assert cache.kq.shape[-1] == d // 2
+    assert cache.kq.shape[2] == ps // 2      # sublane (row) packing
     alloc = PageAllocator(npg, b, pps)
     lens = [200, 37, 128, 300]
     pt = np.zeros((b, pps), np.int32)
