@@ -316,7 +316,9 @@ def spec_accept(tlogits, d, qx, dlogits, temps, topps, topks, kacc, kextra,
     dl_at = jnp.take_along_axis(
         dlogits, jnp.minimum(n_acc, gamma - 1)[:, None, None],
         axis=1)[:, 0]
-    q_at = warped_probs(dl_at, temps, topks, topps)
+    # the draft sampled from its UNFILTERED temperature distribution
+    # (see the engines' dstep) — q here must be that same distribution
+    q_at = warped_probs(dl_at, temps, 0, 1.0)
     q_at = jnp.where((n_acc < gamma)[:, None], q_at, 0.0)
     resid = jnp.maximum(p_at - q_at, 0.0)
     dist = jnp.where((jnp.sum(resid, axis=1) > 1e-9)[:, None], resid, p_at)
@@ -800,10 +802,16 @@ class ContinuousBatchingEngine(_PagedPoolOps):
             tok, dc, k = carry
             k, ks = jax.random.split(k)
             logits, dc = draft.decode_step(tok, pos + j, dc)
-            # sorted-space draw: the proposal AND its own warped
-            # probability q(x) in one pass — no full-V scatter per step
-            nxt, qx = sample_logits_with_prob(logits, ks, temps, topks,
-                                              topps)
+            # the draft proposes from its UNFILTERED temperature
+            # distribution (sort-free fast path — top-k/top-p literals
+            # engage it regardless of per-slot params): Leviathan
+            # exactness holds for ANY draft distribution, so the slot's
+            # filters live only in the verifier's p; proposals outside
+            # the nucleus simply reject (acceptance cost ~1-top_p).
+            # A full-vocab argsort per draft step (the exact-nucleus
+            # sampling price) measured 4.8x greedy at V=50k — this path
+            # is what makes stochastic speculation affordable.
+            nxt, qx = sample_logits_with_prob(logits, ks, temps, 0, 1.0)
             return (nxt[:, None], dc, k), (nxt, qx, logits)
 
         (_, dcaches, _), (props, qxs, dlogits) = jax.lax.scan(

@@ -286,8 +286,9 @@ class Seq2SeqEngine(_PagedPoolOps):
             k, ks = jax.random.split(k)
             logits, dc = draft.decode_logits(tok, pos + j, denc_kvs, dc,
                                              src_mask=src_mask)
-            nxt, qx = sample_logits_with_prob(logits, ks, temps, topks,
-                                              topps)
+            # unfiltered-temperature draft proposals (engine.spec_accept
+            # contract — the verifier owns the slot's filters)
+            nxt, qx = sample_logits_with_prob(logits, ks, temps, 0, 1.0)
             return (nxt[:, None], dc, k), (nxt, qx, logits)
 
         (_, dcaches, _), (props, qxs, dlogits) = jax.lax.scan(

@@ -202,14 +202,17 @@ def speculative_sample(target, draft, prompt, key, max_new_tokens: int,
         # engine.spec_accept cost shape; raw logits are kept for the one
         # rejection-position leftover)
         from qgemm_tpu.ops.sampling import (sample_logits_with_prob,
+                                            warped_probs,
                                             warped_token_probs)
 
         def dstep(carry, j):
             tok, dc, k = carry
             k, ks = jax.random.split(k)
             logits, dc = draft.decode_step(tok[None, None], pos + j, dc)
-            nxt, qx = sample_logits_with_prob(logits, ks, temperature,
-                                              top_k, top_p)
+            # unfiltered-temperature proposals: sort-free (the verifier
+            # owns the top-k/top-p filters; out-of-nucleus proposals
+            # reject, costing ~1-top_p acceptance, not a 50k-sort/step)
+            nxt, qx = sample_logits_with_prob(logits, ks, temperature)
             return (nxt[0], dc, k), (nxt[0], qx[0], logits[0])
 
         (_, dc, _), (props, qxs, dlogits) = jax.lax.scan(
@@ -236,7 +239,8 @@ def speculative_sample(target, draft, prompt, key, max_new_tokens: int,
         # the bonus position is defined 0, making the leftover = p there)
         # — the only full warped distributions materialized per round
         p_at = warp(tlogits[0, n_acc][None])[0]             # [V]
-        q_at = warp(dlog[jnp.minimum(n_acc, gamma - 1)][None])[0]
+        q_at = warped_probs(dlog[jnp.minimum(n_acc, gamma - 1)][None],
+                            temperature)[0]         # draft is temp-only
         q_at = jnp.where(n_acc < gamma, q_at, jnp.zeros((v,)))
         resid = jnp.maximum(p_at - q_at, 0.0)
         dist = jnp.where(jnp.sum(resid) > 1e-9, resid, p_at)
