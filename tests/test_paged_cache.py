@@ -677,7 +677,7 @@ def test_paged_kernels_at_other_page_sizes():
 
 
 def test_int4_kv_pack_roundtrip():
-    """quantize_kv_int4 <-> unpack_int4_kv: values land within one int4
+    """quantize_kv_int4 + pack/unpack_int4_rows: values land within one int4
     quantization step; scales carry the int8 convention (q * c / 127)."""
     import jax
     import jax.numpy as jnp
