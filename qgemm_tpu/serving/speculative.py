@@ -145,12 +145,18 @@ def speculative_sample(target, draft, prompt, key, max_new_tokens: int,
                        eos_token=None) -> SpecResult:
     """STOCHASTIC speculative decoding (Leviathan-style rejection
     sampling), batch 1 — composes speculation with the engine's
-    temperature / top-k / top-p sampling semantics (ops/sampling.py; both
-    distributions are warped through the same filter pipeline, so the
-    output is distributed EXACTLY as sequential warped-target sampling):
+    temperature / top-k / top-p sampling semantics (ops/sampling.py).
+    The output is distributed EXACTLY as sequential warped-target
+    sampling:
 
-      * the draft proposes x_i ~ q_i (its warped distribution);
+      * the draft proposes x_i ~ q_i = its UNFILTERED temperature
+        distribution (r5: exactness holds for ANY draft distribution,
+        and sampling from the exact nucleus costs a full-vocab argsort
+        per step — ~0.7 ms at V=50k; out-of-nucleus proposals simply
+        reject, costing ~(1-top_p) acceptance instead);
       * the target scores all gamma+1 positions in one chunk forward;
+        p_i is the slot's EXACT warped (top-k/temperature/top-p)
+        distribution — the filters live here;
       * x_i is accepted with prob min(1, p_i(x_i)/q_i(x_i)); the first
         rejection resamples from the leftover norm(max(0, p_i - q_i));
         full acceptance samples a bonus token from p_gamma.

@@ -123,7 +123,17 @@ the short decode-shaped rows up to ~±25%):
   the GEMMs and the KV cache, not the attention dots.
 - **W4A8 decode-shaped row: best measured 44.5 us (99.7% of its HBM
   roofline)**; the short duration makes it the noisiest row through the
-  tunnel (typical 45-59 us, 76-100%).
+  tunnel (typical 45-59 us, 76-100%). r5 diagnostic at the 6.86B decode
+  GEMM shapes (m=1 and m=8; K/N 4096/12288, 4096/16384, 16384/4096,
+  4096/4096): the kernel sits at ~62-75% of its roofline vs int8's
+  66-84% on the same shapes — batch-1 is NOT the penalty (m=1 == m=8);
+  the per-128-group serial sub-dot chain is. A bn/bk tile sweep moved
+  individual cells +-10% but run-to-run tunnel variance on these
+  50-60 us rows is the same size (the production config itself measured
+  72% and 83% in different processes), so the default tiles stand; the
+  honest summary is ~25% headroom on 4096-deep W4A8 decode shapes,
+  which is also why the 6.86B W4A8 self-spec draft runs at 0.62x the
+  target instead of the ~0.5x byte ratio (RESULTS_SPECULATIVE r5).
 - The softmax/layernorm 256-row block heuristic remains the sweep
   optimum (scripts/tune_rowops.py); the fused layernorm+residual kernel
   beats the XLA composition by 22% — that fusion is why it exists.
